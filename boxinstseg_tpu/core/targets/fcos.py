@@ -1,0 +1,167 @@
+"""Batched FCOS point-target assignment with static shapes.
+
+Re-derives the reference's per-image python assignment
+(reference: condinst_head.py:550-633 _get_target_single) as one vectorized
+(B, P, G) computation inside jit: padded GT slots carry a validity mask and
+are excluded by pushing their area to +inf, exactly like the reference
+pushes non-matching candidates to INF before the min-area argmin.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+INF = 1e8
+
+
+class FcosTargets(NamedTuple):
+    labels: jnp.ndarray        # (B, P) int32 in [0, num_classes]; bg = num_classes
+    bbox_targets: jnp.ndarray  # (B, P, 4) l,t,r,b (divided by stride if norm_on_bbox)
+    gt_inds: jnp.ndarray       # (B, P) int32 index into the image's GT slots; -1 = bg
+    centerness: jnp.ndarray    # (B, P) centerness target (0 where bg)
+
+
+def centerness_target(bbox_targets: jnp.ndarray) -> jnp.ndarray:
+    """sqrt((min_lr/max_lr) * (min_tb/max_tb)) (reference
+    condinst_head.py:855-876)."""
+    lr = bbox_targets[..., (0, 2)]
+    tb = bbox_targets[..., (1, 3)]
+    ctr = (lr.min(-1) / jnp.maximum(lr.max(-1), 1e-12)) * (
+        tb.min(-1) / jnp.maximum(tb.max(-1), 1e-12))
+    return jnp.sqrt(jnp.maximum(ctr, 0.0))
+
+
+def fcos_targets(points: jnp.ndarray,
+                 strides: jnp.ndarray,
+                 regress_ranges: jnp.ndarray,
+                 gt_bboxes: jnp.ndarray,
+                 gt_labels: jnp.ndarray,
+                 gt_valid: jnp.ndarray,
+                 num_classes: int,
+                 center_sampling: bool = True,
+                 center_sample_radius: float = 1.5,
+                 norm_on_bbox: bool = True) -> FcosTargets:
+    """Assign each point of each image to a GT (or background).
+
+    Args:
+      points: (P, 2) xy; strides: (P,); regress_ranges: (P, 2).
+      gt_bboxes: (B, G, 4) xyxy in input-canvas coords.
+      gt_labels: (B, G) int32; gt_valid: (B, G) bool (padded slots False).
+    """
+    B, G = gt_labels.shape
+    P = points.shape[0]
+    xs = points[:, 0][None, :, None]            # (1, P, 1)
+    ys = points[:, 1][None, :, None]
+    gx1 = gt_bboxes[:, None, :, 0]              # (B, 1, G)
+    gy1 = gt_bboxes[:, None, :, 1]
+    gx2 = gt_bboxes[:, None, :, 2]
+    gy2 = gt_bboxes[:, None, :, 3]
+
+    left = xs - gx1                              # (B, P, G)
+    right = gx2 - xs
+    top = ys - gy1
+    bottom = gy2 - ys
+
+    if center_sampling:
+        radius = center_sample_radius
+        cx = (gx1 + gx2) / 2
+        cy = (gy1 + gy2) / 2
+        r = (strides * radius)[None, :, None]
+        cb_x1 = jnp.maximum(cx - r, gx1)
+        cb_y1 = jnp.maximum(cy - r, gy1)
+        cb_x2 = jnp.minimum(cx + r, gx2)
+        cb_y2 = jnp.minimum(cy + r, gy2)
+        inside = (jnp.minimum(
+            jnp.minimum(xs - cb_x1, cb_x2 - xs),
+            jnp.minimum(ys - cb_y1, cb_y2 - ys)) > 0)
+    else:
+        inside = (jnp.minimum(jnp.minimum(left, right),
+                              jnp.minimum(top, bottom)) > 0)
+
+    max_dist = jnp.maximum(jnp.maximum(left, right),
+                           jnp.maximum(top, bottom))
+    rr = regress_ranges[None, :, :]              # (1, P, 2)
+    in_range = (max_dist >= rr[..., 0:1]) & (max_dist <= rr[..., 1:2])
+
+    areas = ((gx2 - gx1) * (gy2 - gy1))          # (B, 1, G) -> broadcast
+    areas = jnp.broadcast_to(areas, (B, P, G))
+    bad = (~inside) | (~in_range) | (~gt_valid[:, None, :])
+    areas = jnp.where(bad, INF, areas)
+
+    min_area = areas.min(axis=-1)                # (B, P)
+    min_inds = areas.argmin(axis=-1)             # (B, P)
+    is_bg = min_area >= INF
+
+    labels = jnp.take_along_axis(gt_labels, min_inds, axis=1)
+    labels = jnp.where(is_bg, num_classes, labels).astype(jnp.int32)
+    gt_inds = jnp.where(is_bg, -1, min_inds).astype(jnp.int32)
+
+    idx = min_inds[..., None]
+    bt = jnp.stack([
+        jnp.take_along_axis(left, idx, axis=-1)[..., 0],
+        jnp.take_along_axis(top, idx, axis=-1)[..., 0],
+        jnp.take_along_axis(right, idx, axis=-1)[..., 0],
+        jnp.take_along_axis(bottom, idx, axis=-1)[..., 0],
+    ], axis=-1)                                   # (B, P, 4)
+    ctr = jnp.where(is_bg, 0.0, centerness_target(bt))
+    if norm_on_bbox:
+        bt = bt / strides[None, :, None]
+    return FcosTargets(labels=labels, bbox_targets=bt, gt_inds=gt_inds,
+                       centerness=ctr)
+
+
+def sample_positives_per_gt(scores: jnp.ndarray,
+                            gt_inds: jnp.ndarray,
+                            gt_valid: jnp.ndarray,
+                            capacity: int) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                    jnp.ndarray]:
+    """Fixed-capacity positive sampling, reference-faithful
+    (condinst_head.py:1186-1232 topk_per_img branch).
+
+    Per image: each GT may contribute at most
+    ``inst_per_gt = max(capacity // num_gts, 1)`` positions, ranked by
+    score; the best-ranked position of every GT is guaranteed a slot before
+    remaining slots are filled by global score order.
+
+    Args:
+      scores: (B, P) ranking score (sigmoid cls_max * sigmoid centerness).
+      gt_inds: (B, P) assignment from fcos_targets (-1 = background).
+      gt_valid: (B, G) bool.
+      capacity: K, static samples per image.
+    Returns:
+      point_idx: (B, K) int32 indices into P; sample_gt: (B, K) int32 GT
+      slot per sample; valid: (B, K) bool.
+    """
+    B, P = scores.shape
+    G = gt_valid.shape[1]
+    K = capacity
+    per_gt_k = min(K, P)
+
+    # (B, G, P) masked scores per GT group.
+    grp = gt_inds[:, None, :] == jnp.arange(G)[None, :, None]
+    grp_scores = jnp.where(grp, scores[:, None, :], -jnp.inf)
+    top_vals, top_idx = jax.lax.top_k(grp_scores, per_gt_k)  # (B, G, per_gt_k)
+
+    num_gts = jnp.maximum(gt_valid.sum(axis=1), 1)          # (B,)
+    inst_per_gt = jnp.maximum(K // num_gts, 1)               # (B,)
+    rank = jnp.arange(per_gt_k)[None, None, :]
+    keep = (rank < inst_per_gt[:, None, None]) & jnp.isfinite(top_vals)
+    keep = keep & gt_valid[:, :, None]
+
+    # Selection priority: guarantee one slot per GT (its rank-0 candidate)
+    # before filling by score.
+    priority = jnp.where(keep, top_vals, -jnp.inf)
+    priority = priority + jnp.where((rank == 0) & keep, 1e9, 0.0)
+
+    flat_pri = priority.reshape(B, G * per_gt_k)
+    sel_vals, sel_flat = jax.lax.top_k(flat_pri, K)          # (B, K)
+    sel_g = sel_flat // per_gt_k
+    sel_r = sel_flat % per_gt_k
+    point_idx = jnp.take_along_axis(
+        top_idx.reshape(B, G * per_gt_k), sel_flat, axis=1)
+    valid = jnp.isfinite(sel_vals)
+    point_idx = jnp.where(valid, point_idx, 0).astype(jnp.int32)
+    sample_gt = jnp.where(valid, sel_g, 0).astype(jnp.int32)
+    return point_idx, sample_gt, valid

@@ -1,0 +1,91 @@
+"""Threaded prefetching data loader.
+
+Replaces the reference's torch DataLoader worker processes
+(reference: mmdet/datasets/builder.py:87-139). cv2/numpy release the GIL
+for the heavy work, so a thread pool + a small prefetch queue keeps the
+TPU fed while the step runs; batches are plain numpy dicts handed to
+``parallel.shard_batch``.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+from .batcher import GroupedBatchSampler, SequentialBatchSampler, \
+    StaticBatcher
+
+
+class TrainLoader:
+    def __init__(self, dataset, batch_size: int, batcher: StaticBatcher,
+                 num_workers: int = 8, seed: int = 0, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.batcher = batcher
+        self.sampler = GroupedBatchSampler(dataset.flag, batch_size,
+                                           seed=seed)
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+
+    def _load_one(self, idx: int, epoch_seed: int):
+        rng = np.random.RandomState((epoch_seed * 1000003 + idx) % 2**31)
+        out = self.dataset.prepare(idx, rng)
+        tries = 0
+        while out is None and tries < 10:   # e.g. RandomCrop rejected
+            tries += 1
+            alt = rng.randint(len(self.dataset))
+            out = self.dataset.prepare(alt, rng)
+        if out is None:
+            raise RuntimeError(f'could not load a valid sample near {idx}')
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            step = 0
+            for batch_idx in self.sampler:
+                if stop.is_set():
+                    return
+                futs = [self.pool.submit(self._load_one, i, self.seed + step)
+                        for i in batch_idx]
+                samples = [f.result() for f in futs]
+                q.put(self.batcher(samples))
+                step += 1
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+
+
+class EvalLoader:
+    def __init__(self, dataset, batch_size: int, batcher: StaticBatcher,
+                 num_workers: int = 8):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.batcher = batcher
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def __len__(self):
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        """Yields (batch, real_count, sample_metas)."""
+        sampler = SequentialBatchSampler(len(self.dataset), self.batch_size)
+        for idx, real in sampler:
+            futs = [self.pool.submit(self.dataset.prepare, i) for i in idx]
+            samples = [f.result() for f in futs]
+            metas = [dict(img_shape=s['img_shape'],
+                          ori_shape=s['ori_shape'],
+                          scale_factor=s.get('scale_factor'))
+                     for s in samples]
+            yield self.batcher(samples), real, metas

@@ -1,0 +1,127 @@
+"""Train state + jitted global-batch train step.
+
+Replaces the reference's runner/DDP/Fp16OptimizerHook stack
+(reference: mmdet/apis/train.py:117-244) with one compiled function: loss,
+grads, optimizer update, BN stats and the BoxInst warmup counter all live
+inside the jit; data parallelism comes from sharding the batch over the
+mesh and letting XLA insert the gradient reductions.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_variables(model, rngs, *args, method=None):
+    """Jit-compiled model.init — eager init dispatches one XLA compile per
+    primitive (minutes); one jit makes it a single compile."""
+    import functools
+    fn = functools.partial(model.init, method=method) if method is not None \
+        else model.init
+    return jax.jit(fn)(rngs, *args)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray                      # () int32 — also BoxInst _iter
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any = None                 # teacher / EMA replica (DiscoBox)
+
+    def variables(self):
+        v = {'params': self.params}
+        if self.batch_stats is not None:
+            v['batch_stats'] = self.batch_stats
+        return v
+
+
+def create_train_state(model, variables, tx: optax.GradientTransformation,
+                       ema: bool = False) -> TrainState:
+    params = variables['params']
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get('batch_stats'),
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(lambda x: x, params) if ema
+        else None,
+    )
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None,
+                    axis_name: str = 'data',
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    The returned fn: (state, batch) -> (state, logs). ``batch`` is the
+    GLOBAL batch; shard it with ``parallel.shard_batch`` before calling.
+    The loss (reference semantics: _parse_losses sums every '*loss*' key,
+    base.py:176-254) is computed over the global batch, so per-count
+    normalizations already match DDP's reduce_mean'd denominators.
+    """
+
+    def loss_fn(params, batch_stats, batch, step):
+        variables = {'params': params}
+        mutable = []
+        if batch_stats is not None:
+            variables['batch_stats'] = batch_stats
+            mutable = ['batch_stats']
+        out = model.apply(variables, batch, step, method=model.loss,
+                          mutable=mutable)
+        if mutable:
+            losses, new_state = out
+            new_bs = new_state.get('batch_stats')
+        else:
+            losses, new_bs = out, None
+        total = sum(v for k, v in losses.items() if 'loss' in k)
+        return total, (losses, new_bs)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   state.step)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs if new_bs is not None else state.batch_stats,
+            opt_state=new_opt,
+        )
+        logs = {k: v for k, v in losses.items()}
+        logs['loss'] = total
+        logs['grad_norm'] = optax.global_norm(grads)
+        return new_state, logs
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None,
+                   axis_name: str = 'data') -> Callable:
+    """Jitted predict step: (variables, batch) -> detections dict."""
+
+    def eval_step(variables, batch):
+        return model.apply(variables, batch, method=model.predict)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=data)

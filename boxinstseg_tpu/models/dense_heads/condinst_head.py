@@ -1,0 +1,452 @@
+"""CondInst / BoxInst heads, TPU-native.
+
+Capability-parity rebuild of the reference heads (reference:
+mmdet/models/dense_heads/condinst_head.py, 1448 LoC) with a different
+compute design:
+
+- the FCOS towers are flax modules shared across levels (as in the
+  reference) emitting NHWC maps;
+- target assignment is the batched static-shape ``fcos_targets``;
+- positive sampling is fixed-capacity (``sample_positives_per_gt``);
+- the dynamic mask decoder is a pair of batched einsums (MXU) instead of
+  the reference's ``F.conv2d(groups=N)`` trick (condinst_head.py:1139-1164);
+- BoxInst targets (Lab color similarity, box bitmasks) are computed on
+  device — no skimage/CPU round trip (cf. condinst_head.py:1413-1416).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from ..layers import Conv2d, ConvModule, Scale, normal_conv_init, \
+    bias_init_with_prob
+from ..losses import FocalLoss, GIoULoss, IoULoss, CrossEntropyLoss
+from ..losses.projection import compute_project_term
+from ...core.targets.fcos import (INF, FcosTargets, fcos_targets,
+                                  centerness_target, sample_positives_per_gt)
+from ...ops.boxes import distance2bbox
+from ...ops.color import image_color_similarity, srgb_uint8_to_lab
+from ...ops.nms import greedy_nms
+from ...ops.pairwise import boxinst_pairwise_loss
+from ...ops.points import concat_points_and_meta
+from ...ops.upsample import aligned_bilinear, avg_pool_stride
+from ...registry import HEADS, LOSSES
+
+DEFAULT_REGRESS_RANGES = ((-1, 64), (64, 128), (128, 256), (256, 512),
+                          (512, INF))
+
+
+@HEADS.register_module()
+class CondInstBoxHead(nn.Module):
+    """FCOS-style box head that additionally emits dynamic-conv params
+    (reference: CondInstBoxHead, condinst_head.py:250-876)."""
+    num_classes: int
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    strides: Sequence[int] = (8, 16, 32, 64, 128)
+    regress_ranges: Sequence = DEFAULT_REGRESS_RANGES
+    center_sampling: bool = True
+    center_sample_radius: float = 1.5
+    norm_on_bbox: bool = True
+    centerness_on_reg: bool = False
+    num_gen_params: int = 233
+    loss_cls: Optional[dict] = None
+    loss_bbox: Optional[dict] = None
+    loss_centerness: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+    conv_bias: bool = True
+
+    def _norm_cfg(self):
+        return self.norm_cfg or dict(type='GN', num_groups=32)
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        """feats: tuple of (B, H, W, C) maps. Returns dict of per-level
+        lists: cls (B,H,W,num_classes), bbox (B,H,W,4), ctr (B,H,W,1),
+        param (B,H,W,num_gen_params)."""
+        init01 = normal_conv_init(0.01)
+        cls_tower = [
+            ConvModule(self.feat_channels, 3, 1, 1,
+                       norm_cfg=self._norm_cfg(), use_bias=self.conv_bias,
+                       kernel_init=init01, name=f'cls_tower_{i}')
+            for i in range(self.stacked_convs)
+        ]
+        reg_tower = [
+            ConvModule(self.feat_channels, 3, 1, 1,
+                       norm_cfg=self._norm_cfg(), use_bias=self.conv_bias,
+                       kernel_init=init01, name=f'reg_tower_{i}')
+            for i in range(self.stacked_convs)
+        ]
+        conv_cls = Conv2d(self.num_classes, 3, 1, 1, kernel_init=init01,
+                          bias_init=bias_init_with_prob(0.01),
+                          name='conv_cls')
+        conv_reg = Conv2d(4, 3, 1, 1, kernel_init=init01, name='conv_reg')
+        conv_ctr = Conv2d(1, 3, 1, 1, kernel_init=init01,
+                          name='conv_centerness')
+        param_conv = Conv2d(self.num_gen_params, 3, 1, 1, kernel_init=init01,
+                            name='param_conv')
+        scales = [Scale(name=f'scale_{i}') for i in range(len(self.strides))]
+
+        outs = {'cls': [], 'bbox': [], 'ctr': [], 'param': []}
+        for lvl, x in enumerate(feats):
+            cls_feat = x
+            for m in cls_tower:
+                cls_feat = m(cls_feat, train=train)
+            reg_feat = x
+            for m in reg_tower:
+                reg_feat = m(reg_feat, train=train)
+            cls_score = conv_cls(cls_feat)
+            bbox_pred = conv_reg(reg_feat)
+            ctr_feat = reg_feat if self.centerness_on_reg else cls_feat
+            centerness = conv_ctr(ctr_feat)
+            bbox_pred = scales[lvl](bbox_pred).astype(jnp.float32)
+            if self.norm_on_bbox:
+                bbox_pred = jax.nn.relu(bbox_pred)
+                if not train:
+                    bbox_pred = bbox_pred * self.strides[lvl]
+            else:
+                bbox_pred = jnp.exp(bbox_pred)
+            outs['cls'].append(cls_score)
+            outs['bbox'].append(bbox_pred)
+            outs['ctr'].append(centerness)
+            outs['param'].append(param_conv(reg_feat))
+        return outs
+
+    # ---- losses (pure functions of the forward outputs) -------------------
+    def build_losses(self):
+        loss_cls = LOSSES.build(self.loss_cls or dict(
+            type='FocalLoss', use_sigmoid=True, gamma=2.0, alpha=0.25,
+            loss_weight=1.0))
+        loss_bbox = LOSSES.build(self.loss_bbox or dict(
+            type='GIoULoss', loss_weight=1.0))
+        loss_ctr = LOSSES.build(self.loss_centerness or dict(
+            type='CrossEntropyLoss', use_sigmoid=True, loss_weight=1.0))
+        return loss_cls, loss_bbox, loss_ctr
+
+    def points_meta(self, featmap_sizes):
+        return concat_points_and_meta(
+            featmap_sizes, self.strides,
+            regress_ranges=self.regress_ranges)
+
+    @staticmethod
+    def flatten_levels(per_level: List[jnp.ndarray]) -> jnp.ndarray:
+        """[(B, H, W, C)] -> (B, P, C), level-major like the reference's
+        per-level concatenation."""
+        b = per_level[0].shape[0]
+        c = per_level[0].shape[-1]
+        return jnp.concatenate(
+            [x.reshape(b, -1, c) for x in per_level], axis=1)
+
+    def loss(self, outs: Dict[str, List[jnp.ndarray]], gt_bboxes, gt_labels,
+             gt_valid) -> Tuple[Dict[str, jnp.ndarray], FcosTargets, dict]:
+        """Box losses on the global (already-sharded) batch.
+
+        Under pjit the whole batch lives in one program, so the reference's
+        cross-rank ``reduce_mean`` of the positive count
+        (condinst_head.py:443,453) becomes a plain global sum.
+        """
+        featmap_sizes = [x.shape[1:3] for x in outs['cls']]
+        pts = self.points_meta(featmap_sizes)
+        targets = fcos_targets(
+            pts['points'], pts['strides'], pts['regress_ranges'],
+            gt_bboxes, gt_labels, gt_valid, self.num_classes,
+            self.center_sampling, self.center_sample_radius,
+            self.norm_on_bbox)
+
+        loss_cls_fn, loss_bbox_fn, loss_ctr_fn = self.build_losses()
+        cls = self.flatten_levels(outs['cls'])          # (B, P, C)
+        bbox = self.flatten_levels(outs['bbox'])        # (B, P, 4)
+        ctr = self.flatten_levels(outs['ctr'])[..., 0]  # (B, P)
+
+        is_pos = targets.labels < self.num_classes
+        num_pos = jnp.maximum(is_pos.sum().astype(jnp.float32), 1.0)
+
+        loss_cls = loss_cls_fn(cls, targets.labels, avg_factor=num_pos)
+
+        pos_w = is_pos.astype(jnp.float32)
+        ctr_targets = targets.centerness
+        ctr_denorm = jnp.maximum((ctr_targets * pos_w).sum(), 1e-6)
+
+        points = pts['points'][None]                    # (1, P, 2)
+        decoded_pred = distance2bbox(points, bbox)
+        decoded_tgt = distance2bbox(points, targets.bbox_targets)
+        loss_bbox = loss_bbox_fn(decoded_pred, decoded_tgt,
+                                 weight=ctr_targets * pos_w,
+                                 avg_factor=ctr_denorm)
+        loss_ctr = loss_ctr_fn(ctr, ctr_targets, weight=pos_w,
+                               avg_factor=num_pos)
+        losses = dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
+                      loss_centerness=loss_ctr)
+        return losses, targets, pts
+
+
+@HEADS.register_module()
+class CondInstMaskBranch(nn.Module):
+    """Fuses P3-P5 into a stride-8 mask feature map (reference:
+    CondInstMaskBranch, condinst_head.py:972-1038)."""
+    in_channels: int = 256
+    in_indices: Sequence[int] = (0, 1, 2)
+    strides: Sequence[int] = (8, 16, 32)
+    branch_convs: int = 4
+    branch_channels: int = 128
+    branch_out_channels: int = 16
+    norm_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+    axis_name: Optional[str] = None  # BN stats are global under pjit
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        norm = self.norm_cfg or dict(type='BN')
+        mask_stride = self.strides[0]
+        x = ConvModule(self.branch_channels, 3, 1, 1, norm_cfg=norm,
+                       axis_name=self.axis_name, name='refine_0')(
+            feats[self.in_indices[0]], train=train)
+        for i in range(1, len(self.in_indices)):
+            p = ConvModule(self.branch_channels, 3, 1, 1, norm_cfg=norm,
+                           axis_name=self.axis_name, name=f'refine_{i}')(
+                feats[self.in_indices[i]], train=train)
+            factor = self.strides[i] // mask_stride
+            x = x + aligned_bilinear(p, factor)
+        for i in range(self.branch_convs):
+            x = ConvModule(self.branch_channels, 3, 1, 1, norm_cfg=norm,
+                           axis_name=self.axis_name, name=f'branch_{i}')(
+                x, train=train)
+        return Conv2d(self.branch_out_channels, 1, 1, 0, name='branch_out')(x)
+
+
+@HEADS.register_module()
+class CondInstMaskHead:
+    """Dynamic-conv mask decoder + BoxInst losses.
+
+    Holds no trainable parameters (the param conv lives in the box head's
+    forward); a plain config object, so it composes with jit'd functions.
+    Reference: CondInstMaskHead, condinst_head.py:1042-1448.
+    """
+
+    def __init__(self,
+                 in_channels: int = 16,
+                 in_stride: int = 8,
+                 out_stride: int = 4,
+                 dynamic_convs: int = 3,
+                 dynamic_channels: int = 8,
+                 disable_rel_coors: bool = False,
+                 bbox_head_channels: int = 256,
+                 sizes_of_interest: Sequence[int] = (64, 128, 256, 512, 1024),
+                 max_proposals: int = -1,
+                 topk_per_img: int = 64,
+                 boxinst_enabled: bool = True,
+                 bottom_pixels_removed: int = 10,
+                 pairwise_size: int = 3,
+                 pairwise_dilation: int = 2,
+                 pairwise_color_thresh: float = 0.3,
+                 pairwise_warmup: int = 10000,
+                 norm_cfg: Optional[dict] = None,
+                 init_cfg: Optional[dict] = None):
+        self.in_channels = in_channels
+        self.in_stride = in_stride
+        self.out_stride = out_stride
+        self.dynamic_convs = dynamic_convs
+        self.dynamic_channels = dynamic_channels
+        self.disable_rel_coors = disable_rel_coors
+        self.bbox_head_channels = bbox_head_channels
+        self.sizes_of_interest = tuple(sizes_of_interest)
+        self.max_proposals = max_proposals
+        self.topk_per_img = topk_per_img
+        self.boxinst_enabled = boxinst_enabled
+        self.bottom_pixels_removed = bottom_pixels_removed
+        self.pairwise_size = pairwise_size
+        self.pairwise_dilation = pairwise_dilation
+        self.pairwise_color_thresh = pairwise_color_thresh
+        self.pairwise_warmup = pairwise_warmup
+
+        dyn_in = in_channels if disable_rel_coors else in_channels + 2
+        self.dy_weights, self.dy_biases = [], []
+        for i in range(dynamic_convs):
+            in_chn = dyn_in if i == 0 else dynamic_channels
+            out_chn = 1 if i == dynamic_convs - 1 else dynamic_channels
+            self.dy_weights.append(in_chn * out_chn)
+            self.dy_biases.append(out_chn)
+        self.num_gen_params = sum(self.dy_weights) + sum(self.dy_biases)
+
+    @property
+    def capacity(self) -> int:
+        """Static per-image instance capacity for training sampling."""
+        if self.topk_per_img != -1:
+            return self.topk_per_img
+        return max(self.max_proposals, 1)
+
+    def parse_params(self, params: jnp.ndarray):
+        """(..., num_gen_params) -> lists of (..., out, in) weights and
+        (..., out) biases, torch-layout compatible
+        (condinst_head.py:1120-1137)."""
+        sizes = self.dy_weights + self.dy_biases
+        offsets = np.cumsum([0] + sizes)
+        pieces = [params[..., offsets[i]:offsets[i + 1]]
+                  for i in range(len(sizes))]
+        weights, biases = [], []
+        dyn_in = self.in_channels + (0 if self.disable_rel_coors else 2)
+        for i in range(self.dynamic_convs):
+            in_chn = dyn_in if i == 0 else self.dynamic_channels
+            out_chn = (1 if i == self.dynamic_convs - 1
+                       else self.dynamic_channels)
+            w = pieces[i].reshape(params.shape[:-1] + (out_chn, in_chn))
+            weights.append(w)
+            biases.append(pieces[self.dynamic_convs + i])
+        return weights, biases
+
+    def decode(self, mask_feat: jnp.ndarray, params: jnp.ndarray,
+               coors: jnp.ndarray, level_inds: jnp.ndarray) -> jnp.ndarray:
+        """Decode per-instance masks.
+
+        Args:
+          mask_feat: (B, Hm, Wm, C) stride-``in_stride`` features.
+          params: (B, K, num_gen_params); coors: (B, K, 2) xy of the
+          generating location; level_inds: (B, K) FPN level per instance.
+        Returns:
+          (B, K, Ho, Wo) logits at ``out_stride``.
+
+        The reference's grouped 1x1 convs become batched einsums over the
+        (B, K) instance axes — dense MXU work with no host loops.
+        """
+        B, Hm, Wm, C = mask_feat.shape
+        K = params.shape[1]
+        weights, biases = self.parse_params(params)
+
+        if self.disable_rel_coors:
+            x = jnp.einsum('bhwi,bkoi->bkhwo', mask_feat, weights[0],
+                           preferred_element_type=jnp.float32)
+        else:
+            # rel-coord channels come FIRST in the dynamic conv input
+            # (condinst_head.py:1151: cat([rel_coors, mask_feat])).
+            xs = (jnp.arange(Wm, dtype=jnp.float32) * self.in_stride
+                  + self.in_stride // 2)
+            ys = (jnp.arange(Hm, dtype=jnp.float32) * self.in_stride
+                  + self.in_stride // 2)
+            soi = jnp.asarray(self.sizes_of_interest, jnp.float32)[
+                level_inds]                                   # (B, K)
+            rel_x = (coors[..., 0][..., None] - xs) / soi[..., None]
+            rel_y = (coors[..., 1][..., None] - ys) / soi[..., None]
+            w_rel = weights[0][..., :2]                       # (B,K,O,2)
+            w_feat = weights[0][..., 2:]                      # (B,K,O,C)
+            x = jnp.einsum('bhwi,bkoi->bkhwo', mask_feat, w_feat,
+                           preferred_element_type=jnp.float32)
+            x = x + _rel_contrib(rel_y, rel_x, w_rel)
+        x = x + biases[0][:, :, None, None, :]
+        x = jax.nn.relu(x)
+        for i in range(1, self.dynamic_convs):
+            x = jnp.einsum('bkhwi,bkoi->bkhwo', x, weights[i],
+                           preferred_element_type=jnp.float32)
+            x = x + biases[i][:, :, None, None, :]
+            if i < self.dynamic_convs - 1:
+                x = jax.nn.relu(x)
+        factor = self.in_stride // self.out_stride
+        x = aligned_bilinear(x, factor)
+        return x[..., 0]
+
+    # ---- BoxInst targets (all on device) -----------------------------------
+    def color_similarity_targets(self, images, img_norm_mean, img_norm_std,
+                                 img_shapes, pixels_removed):
+        """Per-image Lab color similarity at out_stride
+        (reference: get_bitmasks_from_boxes, condinst_head.py:1395-1425).
+
+        Args:
+          images: (B, H, W, 3) normalized RGB input canvas.
+          img_shapes: (B, 2) int (h, w) valid region.
+          pixels_removed: (B,) int bottom rows to blank
+            (int(bottom_pixels_removed * img_h / ori_h), host-computed).
+        Returns:
+          similarity (B, K^2-1, Hs, Ws), image_mask_s (B, Hs, Ws).
+        """
+        B, H, W, _ = images.shape
+        stride = self.out_stride
+        mean = jnp.asarray(img_norm_mean, jnp.float32)
+        std = jnp.asarray(img_norm_std, jnp.float32)
+        rows = jnp.arange(H)[None, :, None]
+        cols = jnp.arange(W)[None, None, :]
+        region = ((rows < img_shapes[:, 0][:, None, None]) &
+                  (cols < img_shapes[:, 1][:, None, None]))
+        rgb255 = (images * std + mean) * region[..., None]
+        image_mask = region & (
+            rows < (img_shapes[:, 0] - pixels_removed)[:, None, None])
+
+        down = avg_pool_stride(rgb255, stride)
+        start = stride // 2
+        mask_s = image_mask[:, start::stride, start::stride].astype(
+            jnp.float32)
+        lab = srgb_uint8_to_lab(down)
+        sim = image_color_similarity(lab, mask_s, self.pairwise_size,
+                                     self.pairwise_dilation)
+        return sim, mask_s
+
+    def box_bitmasks(self, boxes: jnp.ndarray, out_h: int, out_w: int
+                     ) -> jnp.ndarray:
+        """(B, K, 4) boxes -> (B, K, out_h, out_w) bitmasks sampled at
+        out_stride grid points (start + stride*i), replicating the
+        reference's integer-truncated inclusive box fill
+        (condinst_head.py:1427-1443)."""
+        stride = self.out_stride
+        start = stride // 2
+        xs = (start + stride * jnp.arange(out_w)).astype(jnp.float32)
+        ys = (start + stride * jnp.arange(out_h)).astype(jnp.float32)
+        x1 = jnp.floor(boxes[..., 0])[..., None]
+        y1 = jnp.floor(boxes[..., 1])[..., None]
+        x2 = jnp.floor(boxes[..., 2])[..., None]
+        y2 = jnp.floor(boxes[..., 3])[..., None]
+        col_in = (xs >= x1) & (xs <= x2)          # (B, K, W)
+        row_in = (ys >= y1) & (ys <= y2)          # (B, K, H)
+        return (row_in[..., :, None] & col_in[..., None, :]).astype(
+            jnp.float32)
+
+    def loss(self, mask_logits, sampled_boxes, sample_valid, color_sim,
+             iteration) -> Dict[str, jnp.ndarray]:
+        """BoxInst mask losses over the sampled instances.
+
+        Args:
+          mask_logits: (B, K, Ho, Wo) from ``decode``.
+          sampled_boxes: (B, K, 4) GT boxes of each sample.
+          sample_valid: (B, K) bool.
+          color_sim: (B, K^2-1, Ho, Wo) from ``color_similarity_targets``.
+          iteration: scalar int array — pairwise warmup counter (the
+            reference keeps this in a registered buffer,
+            condinst_head.py:1104,1331).
+        """
+        B, K, Ho, Wo = mask_logits.shape
+        bitmasks = jax.lax.stop_gradient(
+            self.box_bitmasks(sampled_boxes, Ho, Wo))
+        color_sim = jax.lax.stop_gradient(color_sim)
+
+        mask_scores = jax.nn.sigmoid(mask_logits)
+        v = sample_valid.reshape(-1)
+        loss_prj = compute_project_term(
+            mask_scores.reshape(B * K, Ho, Wo),
+            bitmasks.reshape(B * K, Ho, Wo), valid=v)
+
+        loss_pairwise = boxinst_pairwise_loss(
+            mask_logits, color_sim, bitmasks, sample_valid,
+            self.pairwise_color_thresh, self.pairwise_size,
+            self.pairwise_dilation)
+        warmup = jnp.minimum(
+            iteration.astype(jnp.float32) / float(self.pairwise_warmup), 1.0)
+        return dict(loss_prj=loss_prj, loss_pairwise=loss_pairwise * warmup)
+
+
+def _rel_contrib(rel_y, rel_x, w_rel):
+    """First-layer contribution of the (x, y) rel-coord channels.
+
+    rel_x: (B, K, Wm); rel_y: (B, K, Hm); w_rel: (B, K, O, 2) where channel
+    0 multiplies x and channel 1 multiplies y (stack order
+    [shift_x, shift_y] in condinst_head.py:1147).
+    Returns (B, K, Hm, Wm, O).
+    """
+    wx = w_rel[..., 0][:, :, None, None, :]   # (B, K, 1, 1, O)
+    wy = w_rel[..., 1][:, :, None, None, :]
+    tx = rel_x[:, :, None, :, None] * wx      # (B, K, 1, Wm, O)
+    ty = rel_y[:, :, :, None, None] * wy      # (B, K, Hm, 1, O)
+    return tx + ty

@@ -1,0 +1,212 @@
+"""Shared NN building blocks (flax.linen, NHWC).
+
+Conv arithmetic follows torch semantics (explicit symmetric padding, not
+XLA 'SAME') so that weights converted from torchvision / reference
+checkpoints reproduce identical feature maps.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm permanently in eval mode: running stats are constants in the
+    'batch_stats' collection; scale/bias are trainable parameters.
+
+    Matches the reference backbone setting norm_eval=True
+    (configs/boxinst/boxinst_r50_fpn_1x_coco.py backbone).
+    """
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param('scale', nn.initializers.ones, (self.features,))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        mean = self.variable('batch_stats', 'mean',
+                             lambda: jnp.zeros((self.features,)))
+        var = self.variable('batch_stats', 'var',
+                            lambda: jnp.ones((self.features,)))
+        inv = jax.lax.rsqrt(var.value + self.eps) * scale
+        return x * inv + (bias - mean.value * inv)
+
+
+class SyncBatchNorm(nn.Module):
+    """Train-mode BatchNorm over the global batch.
+
+    Under pjit the whole (sharded) batch lives in one program, so plain
+    batch statistics are already globally synced — XLA inserts the
+    cross-device reductions. (The reference's per-GPU unsynced BN,
+    norm_cfg type='BN' in CondInstMaskBranch/CondInstSegmHead, is strictly
+    noisier.) ``axis_name`` is only needed under pmap/shard_map."""
+    features: int
+    momentum: float = 0.9
+    eps: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.eps,
+            axis_name=self.axis_name if train else None,
+            dtype=jnp.float32,
+        )
+        return bn(x)
+
+
+class GroupNorm32(nn.Module):
+    features: int
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+                            dtype=jnp.float32)(x)
+
+
+def make_norm(norm_cfg, features: int, axis_name: Optional[str] = None):
+    """Instantiate a norm layer from an mmcv-style norm_cfg dict."""
+    if norm_cfg is None:
+        return None
+    t = norm_cfg['type']
+    if t in ('BN', 'SyncBN'):
+        return SyncBatchNorm(features=features, axis_name=axis_name)
+    if t == 'FrozenBN':
+        return FrozenBatchNorm(features=features)
+    if t == 'GN':
+        return nn.GroupNorm(num_groups=norm_cfg.get('num_groups', 32),
+                            dtype=jnp.float32)
+    if t == 'LN':
+        return nn.LayerNorm(dtype=jnp.float32)
+    raise ValueError(f'unknown norm type {t}')
+
+
+_TORCH_CONV_INIT = nn.initializers.variance_scaling(
+    1.0 / 3.0, 'fan_in', 'uniform')  # ~ torch kaiming_uniform default
+
+
+def Conv2d(features: int,
+           kernel_size: Union[int, Tuple[int, int]] = 3,
+           stride: Union[int, Tuple[int, int]] = 1,
+           padding: Union[int, Tuple[int, int]] = 0,
+           dilation: Union[int, Tuple[int, int]] = 1,
+           groups: int = 1,
+           use_bias: bool = True,
+           kernel_init: Callable = _TORCH_CONV_INIT,
+           bias_init: Callable = nn.initializers.zeros,
+           name: Optional[str] = None) -> nn.Conv:
+    """torch-compatible conv factory: explicit symmetric padding, NHWC.
+
+    Returns a plain nn.Conv so the parameter tree stays flat
+    (<name>/kernel, <name>/bias)."""
+    k = _pair(kernel_size)
+    s = _pair(stride)
+    p = _pair(padding)
+    d = _pair(dilation)
+    return nn.Conv(
+        features=features,
+        kernel_size=k,
+        strides=s,
+        padding=((p[0], p[0]), (p[1], p[1])),
+        kernel_dilation=d,
+        feature_group_count=groups,
+        use_bias=use_bias,
+        kernel_init=kernel_init,
+        bias_init=bias_init,
+        name=name,
+    )
+
+
+class ConvModule(nn.Module):
+    """conv -> norm -> activation block (reference: mmcv ConvModule).
+
+    Bias is used iff there is no norm, matching mmcv's default.
+    """
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    norm_cfg: Optional[dict] = None
+    act: Optional[str] = 'relu'
+    use_bias: Optional[bool] = None
+    kernel_init: Callable = nn.initializers.variance_scaling(
+        1.0 / 3.0, 'fan_in', 'uniform')
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bias = self.use_bias if self.use_bias is not None \
+            else self.norm_cfg is None
+        x = Conv2d(self.features, self.kernel_size, self.stride, self.padding,
+                   self.dilation, use_bias=bias, kernel_init=self.kernel_init,
+                   name='conv')(x)
+        if self.norm_cfg is not None:
+            t = self.norm_cfg['type']
+            if t in ('BN', 'SyncBN'):
+                # torch BN momentum 0.1 == flax momentum 0.9
+                x = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
+                                 dtype=jnp.float32, name='bn')(
+                    x, use_running_average=not train)
+            elif t == 'FrozenBN':
+                x = FrozenBatchNorm(self.features, name='bn')(x)
+            elif t == 'GN':
+                x = nn.GroupNorm(
+                    num_groups=self.norm_cfg.get('num_groups', 32),
+                    dtype=jnp.float32, name='gn')(x)
+            elif t == 'LN':
+                x = nn.LayerNorm(dtype=jnp.float32, name='ln')(x)
+            else:
+                raise ValueError(t)
+        if self.act == 'relu':
+            x = jax.nn.relu(x)
+        elif self.act == 'gelu':
+            x = jax.nn.gelu(x)
+        elif self.act is not None:
+            raise ValueError(self.act)
+        return x
+
+
+class Scale(nn.Module):
+    """Learnable scalar multiplier (reference: mmcv.cnn.Scale)."""
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param('scale',
+                       lambda key: jnp.asarray(self.init_value, jnp.float32))
+        return x * s
+
+
+def max_pool_torch(x, kernel_size: int, stride: int, padding: int):
+    """torch-style max pool on NHWC with explicit symmetric padding."""
+    return nn.max_pool(
+        x,
+        window_shape=(kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+    )
+
+
+def normal_conv_init(std: float = 0.01):
+    return nn.initializers.normal(stddev=std)
+
+
+def bias_init_with_prob(prior_prob: float):
+    """Focal-loss style bias init: -log((1-p)/p)."""
+    import math
+    v = -math.log((1 - prior_prob) / prior_prob)
+    return nn.initializers.constant(v)

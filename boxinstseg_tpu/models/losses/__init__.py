@@ -1,0 +1,16 @@
+from .focal_loss import FocalLoss, sigmoid_focal_loss
+from .iou_loss import IoULoss, GIoULoss
+from .cross_entropy_loss import CrossEntropyLoss, binary_cross_entropy_with_logits
+from .dice_loss import DiceLoss, dice_coefficient
+from .projection import compute_project_term, BoxProjectionLoss
+from .levelset_loss import (LevelsetLoss, LocalConsistencyModule,
+                            region_levelset, length_regularization,
+                            local_consistency_loss)
+
+__all__ = [
+    'FocalLoss', 'sigmoid_focal_loss', 'IoULoss', 'GIoULoss',
+    'CrossEntropyLoss', 'binary_cross_entropy_with_logits', 'DiceLoss',
+    'dice_coefficient', 'compute_project_term', 'BoxProjectionLoss',
+    'LevelsetLoss', 'LocalConsistencyModule', 'region_levelset',
+    'length_regularization', 'local_consistency_loss',
+]

@@ -1,0 +1,5 @@
+from .mesh import (batch_sharding, get_data_mesh, replicated_sharding,
+                   shard_batch)
+
+__all__ = ['batch_sharding', 'get_data_mesh', 'replicated_sharding',
+           'shard_batch']

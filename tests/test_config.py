@@ -1,0 +1,61 @@
+import os
+import textwrap
+
+from boxinstseg_tpu.config import Config
+
+
+def _write(tmp_path, name, body):
+    p = tmp_path / name
+    p.write_text(textwrap.dedent(body))
+    return str(p)
+
+
+def test_base_inheritance_and_merge(tmp_path):
+    _write(tmp_path, 'base.py', '''
+        model = dict(type='CondInst', backbone=dict(depth=50, frozen=1))
+        lr = 0.01
+    ''')
+    child = _write(tmp_path, 'child.py', '''
+        _base_ = ['base.py']
+        model = dict(backbone=dict(depth=101))
+        extra = [1, 2, 3]
+    ''')
+    cfg = Config.fromfile(child)
+    assert cfg.model.type == 'CondInst'
+    assert cfg.model.backbone.depth == 101
+    assert cfg.model.backbone.frozen == 1   # merged, not replaced
+    assert cfg.lr == 0.01
+    assert list(cfg.extra) == [1, 2, 3]
+
+
+def test_delete_semantics(tmp_path):
+    _write(tmp_path, 'base.py', "opt = dict(type='SGD', momentum=0.9)\n")
+    child = _write(tmp_path, 'child.py', '''
+        _base_ = 'base.py'
+        opt = dict(_delete_=True, type='AdamW', lr=1e-4)
+    ''')
+    cfg = Config.fromfile(child)
+    assert cfg.opt.type == 'AdamW'
+    assert 'momentum' not in cfg.opt
+
+
+def test_cfg_options_override(tmp_path):
+    f = _write(tmp_path, 'c.py', "model = dict(head=dict(num_classes=80))\n")
+    cfg = Config.fromfile(f)
+    cfg.merge_from_dict({'model.head.num_classes': '20',
+                         'model.head.new_key': 'true'})
+    assert cfg.model.head.num_classes == 20
+    assert cfg.model.head.new_key is True
+
+
+def test_reference_boxinst_config_parses():
+    """The reference's shipped BoxInst config must load unchanged."""
+    ref = '/root/reference/configs/boxinst/boxinst_r50_fpn_1x_coco.py'
+    if not os.path.exists(ref):
+        import pytest
+        pytest.skip('reference not mounted')
+    cfg = Config.fromfile(ref)
+    assert cfg.model.type == 'CondInst'
+    assert cfg.model.mask_head.boxinst_enabled is True
+    assert cfg.optimizer.lr == 0.005
+    assert cfg.model.bbox_head.num_classes == 80
