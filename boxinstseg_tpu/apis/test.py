@@ -1,0 +1,108 @@
+"""Evaluation loop (reference: mmdet/apis/test.py single_gpu_test +
+CocoDataset.evaluate).
+
+The device side is one jitted ``predict`` over fixed-capacity detections;
+the host side crops/rescales stride-4 mask scores to each image's original
+resolution and RLE-encodes them (mirroring the reference's GPU->CPU mask
+handoff, condinst_head.py:1281-1283 and encode_mask_results,
+apis/test.py:64-66).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data.batcher import StaticBatcher
+from ..data.coco_api import rle_encode
+from ..data.loader import EvalLoader
+from ..utils.logging import get_root_logger
+
+
+def _aligned_upsample_np(x: np.ndarray, factor: int) -> np.ndarray:
+    """numpy twin of ops.upsample.aligned_bilinear for (H, W) arrays."""
+    h, w = x.shape
+
+    def axis_idx(n):
+        out = np.arange(n * factor)
+        i = np.maximum(out - factor // 2, 0)
+        q = i // factor
+        r = (i % factor).astype(np.float32) / factor
+        return np.clip(q, 0, n - 1), np.clip(q + 1, 0, n - 1), r
+
+    q0, q1, r = axis_idx(h)
+    x = (1 - r)[:, None] * x[q0] + r[:, None] * x[q1]
+    q0, q1, r = axis_idx(w)
+    x = (1 - r)[None, :] * x[:, q0] + r[None, :] * x[:, q1]
+    return x
+
+
+def postprocess_masks(mask_scores: np.ndarray, img_shape, ori_shape,
+                      out_stride: int = 4, thresh: float = 0.5
+                      ) -> List[np.ndarray]:
+    """(D, H/s, W/s) sigmoid scores on the padded canvas -> list of
+    (ori_h, ori_w) uint8 masks (reference: CondInstMaskHead.simple_test
+    resize-crop-threshold chain)."""
+    import cv2
+    ih, iw = int(img_shape[0]), int(img_shape[1])
+    oh, ow = int(ori_shape[0]), int(ori_shape[1])
+    out = []
+    for m in mask_scores:
+        full = _aligned_upsample_np(m.astype(np.float32), out_stride)
+        full = full[:ih, :iw]
+        full = cv2.resize(full, (ow, oh), interpolation=cv2.INTER_LINEAR)
+        out.append((full > thresh).astype(np.uint8))
+    return out
+
+
+def run_evaluation(model, variables, dataset, cfg,
+                   metrics=('bbox', 'segm'), max_images: Optional[int] = None,
+                   batch_size: Optional[int] = None) -> Dict[str, float]:
+    import jax
+    import jax.numpy as jnp
+
+    logger = get_root_logger()
+    data_cfg = cfg.get('data', {}) if hasattr(cfg, 'get') else {}
+    b = batch_size or data_cfg.get('samples_per_gpu', 2)
+    mask_head_cfg = (cfg.model.get('mask_head', {}) or {}) \
+        if hasattr(cfg, 'model') else {}
+    batcher = StaticBatcher(
+        canvases=cfg.get('canvases', [(800, 1344), (1344, 800)])
+        if hasattr(cfg, 'get') else [(800, 1344), (1344, 800)],
+        max_gts=1,  # annotations unused at test time
+        bottom_pixels_removed=mask_head_cfg.get('bottom_pixels_removed', 10))
+    loader = EvalLoader(dataset, b, batcher)
+
+    @jax.jit
+    def predict(variables, batch):
+        return model.apply(variables, batch, method=model.predict)
+
+    results = []
+    n_done = 0
+    for batch, real, metas in loader:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if k in ('image', 'img_shape', 'scale_factor')}
+        out = jax.device_get(predict(variables, jb))
+        for i in range(real):
+            valid = out['valid'][i]
+            boxes = np.concatenate(
+                [out['bboxes'][i], out['scores'][i][:, None]], -1)[valid]
+            labels = out['labels'][i][valid]
+            masks_s = out['masks'][i][valid]
+            masks = postprocess_masks(
+                masks_s, metas[i]['img_shape'][:2], metas[i]['ori_shape'][:2])
+            results.append(dict(
+                bboxes=boxes.astype(np.float64),
+                labels=labels.astype(np.int64),
+                masks=[rle_encode(m) for m in masks]))
+        n_done += real
+        if n_done % (20 * b) < b:
+            logger.info(f'eval: {n_done}/{len(dataset)}')
+        if max_images is not None and n_done >= max_images:
+            break
+    if max_images is not None:
+        # trim dataset img ids for partial eval
+        from ..core.eval.coco_eval import evaluate_coco
+        return evaluate_coco(dataset.coco, dataset.img_ids[:len(results)],
+                             dataset.cat_ids, results, list(metrics))
+    return dataset.evaluate(results, metric=list(metrics))

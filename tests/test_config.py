@@ -59,3 +59,17 @@ def test_reference_boxinst_config_parses():
     assert cfg.model.mask_head.boxinst_enabled is True
     assert cfg.optimizer.lr == 0.005
     assert cfg.model.bbox_head.num_classes == 80
+
+
+def test_shipped_boxinst_config_builds():
+    import os
+    import boxinstseg_tpu  # noqa: F401
+    from boxinstseg_tpu.registry import build_detector
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Config.fromfile(
+        os.path.join(root, 'configs/boxinst/boxinst_r50_fpn_1x_coco.py'))
+    assert cfg.model.mask_head.pairwise_warmup == 10000
+    assert cfg.optimizer.lr == 0.005
+    assert cfg.lr_config.step == [8, 11]
+    model = build_detector(cfg.model.copy())
+    assert model.bbox_head['num_classes'] == 80
