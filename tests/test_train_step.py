@@ -48,8 +48,8 @@ def test_train_step_reduces_loss_singleshape():
 def test_lr_schedule_semantics():
     from boxinstseg_tpu.engine import step_lr_schedule
     s = step_lr_schedule(0.01, 'linear', 500, 0.001, (1000, 2000), 0.1)
-    assert float(s(0)) == pytest.approx(0.01 * 0.001)
-    assert float(s(250)) == pytest.approx(0.01 * (1 - 0.5 * 0.999))
-    assert float(s(500)) == pytest.approx(0.01)
-    assert float(s(1500)) == pytest.approx(0.001)
-    assert float(s(2500)) == pytest.approx(0.0001)
+    assert float(s(0)) == pytest.approx(0.01 * 0.001, rel=1e-3)
+    assert float(s(250)) == pytest.approx(0.01 * (1 - 0.5 * 0.999), rel=1e-3)
+    assert float(s(500)) == pytest.approx(0.01, rel=1e-5)
+    assert float(s(1500)) == pytest.approx(0.001, rel=1e-5)
+    assert float(s(2500)) == pytest.approx(0.0001, rel=1e-5)
