@@ -38,8 +38,8 @@ def _aligned_upsample_np(x: np.ndarray, factor: int) -> np.ndarray:
 
 
 def postprocess_masks(mask_scores: np.ndarray, img_shape, ori_shape,
-                      out_stride: int = 4, thresh: float = 0.5
-                      ) -> List[np.ndarray]:
+                      out_stride: int = 4, thresh: float = 0.5,
+                      aligned: bool = True) -> List[np.ndarray]:
     """(D, H/s, W/s) sigmoid scores on the padded canvas -> list of
     (ori_h, ori_w) uint8 masks (reference: CondInstMaskHead.simple_test
     resize-crop-threshold chain)."""
@@ -48,7 +48,11 @@ def postprocess_masks(mask_scores: np.ndarray, img_shape, ori_shape,
     oh, ow = int(ori_shape[0]), int(ori_shape[1])
     out = []
     for m in mask_scores:
-        full = _aligned_upsample_np(m.astype(np.float32), out_stride)
+        if aligned:
+            full = _aligned_upsample_np(m.astype(np.float32), out_stride)
+        else:  # SOLO path: plain bilinear x4 (reference get_seg_single)
+            full = cv2.resize(m.astype(np.float32), None, fx=out_stride,
+                              fy=out_stride, interpolation=cv2.INTER_LINEAR)
         full = full[:ih, :iw]
         full = cv2.resize(full, (ow, oh), interpolation=cv2.INTER_LINEAR)
         out.append((full > thresh).astype(np.uint8))
@@ -85,12 +89,29 @@ def run_evaluation(model, variables, dataset, cfg,
         out = jax.device_get(predict(variables, jb))
         for i in range(real):
             valid = out['valid'][i]
-            boxes = np.concatenate(
-                [out['bboxes'][i], out['scores'][i][:, None]], -1)[valid]
             labels = out['labels'][i][valid]
             masks_s = out['masks'][i][valid]
+            is_solo = 'bboxes' not in out
+            test_cfg = (cfg.model.get('test_cfg', {}) or {}) \
+                if hasattr(cfg, 'model') else {}
+            thresh = float(test_cfg.get('mask_thr', 0.5)) if is_solo else 0.5
             masks = postprocess_masks(
-                masks_s, metas[i]['img_shape'][:2], metas[i]['ori_shape'][:2])
+                masks_s, metas[i]['img_shape'][:2],
+                metas[i]['ori_shape'][:2], thresh=thresh,
+                aligned=not is_solo)
+            if 'bboxes' in out:
+                boxes = np.concatenate(
+                    [out['bboxes'][i], out['scores'][i][:, None]],
+                    -1)[valid]
+            else:
+                # SOLO-style results: boxes from mask extents (reference
+                # format_results, single_stage_boxseg.py:75-90)
+                boxes = np.zeros((len(masks), 5), np.float64)
+                for d, m in enumerate(masks):
+                    ys, xs = np.nonzero(m)
+                    if len(ys):
+                        boxes[d] = [xs.min(), ys.min(), xs.max() + 1,
+                                    ys.max() + 1, out['scores'][i][valid][d]]
             results.append(dict(
                 bboxes=boxes.astype(np.float64),
                 labels=labels.astype(np.int64),
