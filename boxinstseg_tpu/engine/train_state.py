@@ -33,6 +33,8 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     ema_params: Any = None                 # teacher / EMA replica (DiscoBox)
+    ema_batch_stats: Any = None
+    avg_loss_ins: Any = None               # DiscoBox gating scalar
 
     def variables(self):
         v = {'params': self.params}
@@ -40,17 +42,27 @@ class TrainState(struct.PyTreeNode):
             v['batch_stats'] = self.batch_stats
         return v
 
+    def teacher_variables(self):
+        v = {'params': self.ema_params}
+        if self.ema_batch_stats is not None:
+            v['batch_stats'] = self.ema_batch_stats
+        return v
+
 
 def create_train_state(model, variables, tx: optax.GradientTransformation,
                        ema: bool = False) -> TrainState:
     params = variables['params']
+    copy = lambda t: jax.tree_util.tree_map(lambda x: x, t)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables.get('batch_stats'),
         opt_state=tx.init(params),
-        ema_params=jax.tree_util.tree_map(lambda x: x, params) if ema
-        else None,
+        ema_params=copy(params) if ema else None,
+        ema_batch_stats=copy(variables.get('batch_stats')) if ema else None,
+        # reference initializes the running loss gate at 2.0
+        # (single_stage_ts.py:163)
+        avg_loss_ins=jnp.asarray(2.0, jnp.float32) if ema else None,
     )
 
 
@@ -111,6 +123,91 @@ def make_train_step(model, tx: optax.GradientTransformation,
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def make_ts_train_step(model, tx: optax.GradientTransformation,
+                       mesh: Optional[Mesh] = None,
+                       axis_name: str = 'data',
+                       momentum: float = 0.999,
+                       start_iter: int = 13000,
+                       ts_thresh: float = 0.3,
+                       use_teacher: bool = True,
+                       donate: bool = True) -> Callable:
+    """Teacher-student train step (DiscoBox).
+
+    Reference semantics (single_stage_ts.py:179-237): losses gated on a
+    running ``avg_loss_ins`` (EMA 0.9/0.1 of loss_ins); the EMA teacher is
+    copied from the student at ``start_iter`` and momentum-updated after.
+    Here gates are traced scalars and the EMA update runs inside the same
+    compiled step: ema <- student before start_iter (exact copy), EMA
+    after.
+    """
+
+    def loss_fn(params, batch_stats, batch, step, teacher_out, gates):
+        variables = {'params': params}
+        mutable = []
+        if batch_stats is not None:
+            variables['batch_stats'] = batch_stats
+            mutable = ['batch_stats']
+        out = model.apply(variables, batch, step, teacher_out, gates,
+                          method=model.loss, mutable=mutable)
+        if mutable:
+            losses, new_state = out
+            new_bs = new_state.get('batch_stats')
+        else:
+            losses, new_bs = out, None
+        total = sum(v for k, v in losses.items() if 'loss' in k)
+        return total, (losses, new_bs)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        turn_on = jnp.asarray(
+            use_teacher, jnp.float32) * (state.step > start_iter)
+        gates = dict(
+            teacher=turn_on.astype(jnp.float32),
+            ts=(state.avg_loss_ins < ts_thresh).astype(jnp.float32),
+            corr=(state.avg_loss_ins < 0.2).astype(jnp.float32),
+        )
+        teacher_out = model.apply(state.teacher_variables(),
+                                  batch['image'],
+                                  method=model.teacher_outputs)
+        teacher_out = jax.lax.stop_gradient(teacher_out)
+
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   state.step, teacher_out, gates)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        after = (state.step >= start_iter)
+        m = jnp.where(after, momentum, 0.0)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: m * e + (1.0 - m) * p,
+            state.ema_params, new_params)
+        new_bs_eff = new_bs if new_bs is not None else state.batch_stats
+        ema_bs = state.ema_batch_stats
+        if ema_bs is not None and new_bs_eff is not None:
+            ema_bs = jax.tree_util.tree_map(
+                lambda e, p: m * e + (1.0 - m) * p, ema_bs, new_bs_eff)
+        new_avg = state.avg_loss_ins * 0.9 + 0.1 * losses['loss_ins']
+
+        new_state = state.replace(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_bs_eff, opt_state=new_opt,
+            ema_params=ema, ema_batch_stats=ema_bs,
+            avg_loss_ins=new_avg)
+        logs = {k: v for k, v in losses.items()}
+        logs['loss'] = total
+        logs['avg_loss_ins'] = state.avg_loss_ins
+        logs['grad_norm'] = optax.global_norm(grads)
+        return new_state, logs
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    return jax.jit(train_step, in_shardings=(repl, data),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, mesh: Optional[Mesh] = None,

@@ -1,0 +1,399 @@
+"""DiscoBox SOLOv2 head + mask feature head + mean-field CRF, TPU-native.
+
+Capability-parity rebuild of the reference (reference:
+mmdet/models/dense_heads/discobox_head.py, 1660 LoC) redesigned for TPU:
+
+- grid kernels/cates via interpolate-then-convs branches, per-grid masks by
+  batched einsum over the unified mask feature (vs F.conv2d(groups=N),
+  discobox_head.py:1206-1246);
+- MIL projection loss (row/col max dice, discobox_head.py:552-562);
+- mean-field CRF pseudo-labeling as fixed-iteration stencil updates under
+  stop_gradient (discobox_head.py:585-651) — pure XLA, no unfold tensors;
+- the teacher/student machinery lives in the detector + train step: the
+  teacher is an EMA parameter replica in the train state and the
+  ``avg_loss_ins`` gate is a traced scalar (vs the reference's python-side
+  running float, single_stage_ts.py:71,230).
+
+The cross-image semantic-correspondence loss (ObjectQueues /
+SemanticCorrSolver, discobox_head.py:132-411,900-1139) corresponds to the
+reference's ``loss_corr``; configs may set ``loss_corr=None`` (a supported
+reference configuration) — see ops/correspondence.py for the TPU port.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from ..layers import Conv2d, ConvModule, normal_conv_init, \
+    bias_init_with_prob
+from ...core.targets.solo import sample_positive_cells, solo_targets
+from ...ops.color import neighbor_offsets, shift2d
+from ...ops.nms import mask_matrix_nms, points_nms_2x2
+from ...ops.upsample import interpolate_bilinear
+from ...registry import HEADS, LOSSES
+
+
+def _coord_feat(b, h, w):
+    xs = jnp.linspace(-1.0, 1.0, w)
+    ys = jnp.linspace(-1.0, 1.0, h)
+    x = jnp.broadcast_to(xs[None, None, :], (b, h, w))
+    y = jnp.broadcast_to(ys[None, :, None], (b, h, w))
+    return jnp.stack([x, y], axis=-1)
+
+
+def dice_loss_eps(x: jnp.ndarray, t: jnp.ndarray, eps: float = 1e-3
+                  ) -> jnp.ndarray:
+    """Per-instance dice with the reference's 0.001 smoothing
+    (discobox_head.py dice_loss)."""
+    n = x.shape[0]
+    x = x.reshape(n, -1)
+    t = t.reshape(n, -1)
+    a = (x * t).sum(1)
+    b = (x * x).sum(1) + eps
+    c = (t * t).sum(1) + eps
+    return 1.0 - 2.0 * a / (b + c)
+
+
+def mil_projection_loss(scores: jnp.ndarray, target: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Row/col max-projection dice (reference mil_loss,
+    discobox_head.py:552-562). scores/target: (N, H, W)."""
+    row_l = dice_loss_eps(scores.max(axis=1), target.max(axis=1))
+    col_l = dice_loss_eps(scores.max(axis=2), target.max(axis=2))
+    return row_l + col_l
+
+
+class MeanFieldCRF:
+    """Fixed-iteration mean-field refinement producing pseudo labels
+    (reference MeanField, discobox_head.py:585-651). All math under
+    stop_gradient, per-offset stencil ops instead of unfold."""
+
+    def __init__(self, kernel_size=3, theta0=0.5, theta1=30.0,
+                 theta2=20.0, alpha0=2.0, base=0.10, num_iter=10,
+                 gamma=0.01):
+        self.kernel_size = kernel_size
+        self.theta0 = theta0
+        self.theta1 = theta1
+        self.alpha0 = alpha0
+        self.base = base
+        self.num_iter = num_iter
+        self.gamma = gamma
+        half = kernel_size // 2
+        self.offsets = [(dy, dx) for dy in range(-half, half + 1)
+                        for dx in range(-half, half + 1)]
+
+    def build_kernel(self, color_feat: jnp.ndarray) -> jnp.ndarray:
+        """color_feat: (B, H, W, 3) image resized to mask resolution.
+        Returns (B, O, H, W) appearance+spatial kernel (reference adds 10
+        to the feature map first; shift-outside pixels then differ by 10
+        per channel, matching the zero-padded unfold)."""
+        feat = (color_feat + 10.0).transpose(0, 3, 1, 2)      # (B,3,H,W)
+        ks = []
+        for dy, dx in self.offsets:
+            nb = shift2d(feat, dy, dx, h_axis=2)              # zero pad
+            diff2 = ((nb - feat) ** 2).sum(axis=1)            # (B,H,W)
+            spatial = float(dy * dy + dx * dx)
+            ks.append(self.alpha0 * jnp.exp(
+                -diff2 / (2 * self.theta0 ** 2)
+                - spatial / (2 * self.theta1 ** 2)))
+        return jnp.stack(ks, axis=1)                          # (B,O,H,W)
+
+    def __call__(self, kernel: jnp.ndarray, x: jnp.ndarray,
+                 targets: jnp.ndarray,
+                 iiu: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """kernel: (B, O, H, W) per-image; x: (B, K, H, W) mask scores
+        (already teacher/student averaged); targets: (B, K, H, W) box
+        masks. iiu: optional (B, K, 2, H, W) inter-image priors.
+        Returns binary pseudo labels (B, K, H, W)."""
+        base = self.base
+        x = jax.lax.stop_gradient(x * targets)
+        q = (x > 0.5).astype(jnp.float32) * (1 - 2 * base) + base
+        # state: probability maps for (bg, fg): (B, K, 2, H, W)
+        state = jnp.stack([1.0 - q, q], axis=2)
+
+        def body(_, state):
+            neglog = -jnp.log(jnp.maximum(state, 1e-8))
+            aggre = 0.0
+            for o, (dy, dx) in enumerate(self.offsets):
+                nb = shift2d(neglog, dy, dx, h_axis=3)
+                aggre = aggre + nb * kernel[:, None, None, o]
+            f = jnp.exp(-aggre)
+            if iiu is not None:
+                f = f + iiu * self.gamma
+            fg = f[:, :, 1] * targets
+            f = jnp.stack([f[:, :, 0], fg], axis=2) + 1e-6
+            f = f / f.sum(axis=2, keepdims=True)
+            return (f > 0.5).astype(jnp.float32) * (1 - 2 * base) + base
+
+        state = jax.lax.fori_loop(0, self.num_iter, body, state)
+        return (state[:, :, 1] > 0.5).astype(jnp.float32)
+
+
+@HEADS.register_module()
+class DiscoBoxMaskFeatHead(nn.Module):
+    """Unified stride-4 mask feature (reference: DiscoBoxMaskFeatHead,
+    discobox_head.py:415-520): per-level conv(+up) chains summed, coord
+    channels on the last level, 1x1 GN conv head."""
+    in_channels: int = 256
+    out_channels: int = 128
+    start_level: int = 0
+    end_level: int = 3
+    num_classes: int = 256     # output channels (reference naming)
+    conv_cfg: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+    init_cfg: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        norm = self.norm_cfg or dict(type='GN', num_groups=32)
+        init01 = normal_conv_init(0.01)
+        b = feats[0].shape[0]
+        target_hw = feats[0].shape[1:3]
+        out = None
+        n_levels = self.end_level - self.start_level + 1
+        for i in range(n_levels):
+            x = feats[i]
+            if i == 3:
+                x = jnp.concatenate(
+                    [x, _coord_feat(b, x.shape[1], x.shape[2])], axis=-1)
+            for j in range(max(i, 1)):
+                x = ConvModule(self.out_channels, 3, 1, 1, norm_cfg=norm,
+                               kernel_init=init01,
+                               name=f'level_{i}_conv_{j}')(x, train=train)
+                if i > 0:
+                    x = interpolate_bilinear(
+                        x, (x.shape[1] * 2, x.shape[2] * 2))
+            if x.shape[1:3] != tuple(target_hw):
+                x = interpolate_bilinear(x, target_hw)
+            out = x if out is None else out + x
+        return ConvModule(self.num_classes, 1, 1, 0, norm_cfg=norm,
+                          kernel_init=init01, name='conv_pred')(
+            out, train=train)
+
+
+@HEADS.register_module()
+class DiscoBoxSOLOv2Head(nn.Module):
+    """Grid category + kernel branches (reference: DiscoBoxSOLOv2Head,
+    discobox_head.py:656-857)."""
+    num_classes: int
+    in_channels: int = 256
+    seg_feat_channels: int = 512
+    stacked_convs: int = 4
+    strides: Sequence[int] = (8, 8, 16, 32, 32)
+    base_edge_list: Sequence[int] = (16, 32, 64, 128, 256)
+    scale_ranges: Sequence = ((1, 96), (48, 192), (96, 384), (192, 768),
+                              (384, 2048))
+    sigma: float = 0.2
+    num_grids: Sequence[int] = (40, 36, 24, 16, 12)
+    ins_out_channels: int = 256
+    loss_ins: Optional[dict] = None
+    loss_ts: Optional[dict] = None
+    loss_cate: Optional[dict] = None
+    loss_corr: Optional[dict] = None
+    conv_cfg: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+    use_dcn_in_tower: bool = False
+    type_dcn: Optional[str] = None
+    init_cfg: Optional[Any] = None
+    max_pos: int = 128          # static positive capacity per batch image
+
+    @property
+    def num_cells(self) -> int:
+        return int(sum(s * s for s in self.num_grids))
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        gn = dict(type='GN', num_groups=min(32, self.seg_feat_channels))
+        init01 = normal_conv_init(0.01)
+        b = feats[0].shape[0]
+        p2h, p2w = feats[0].shape[1:3]
+        new_feats = [
+            interpolate_bilinear(feats[0], (p2h // 2, p2w // 2)),
+            feats[1], feats[2], feats[3],
+            interpolate_bilinear(feats[4], feats[3].shape[1:3]),
+        ]
+        kernel_convs = [
+            ConvModule(self.seg_feat_channels, 3, 1, 1, norm_cfg=gn,
+                       use_bias=False, kernel_init=init01,
+                       name=f'kernel_conv_{i}')
+            for i in range(self.stacked_convs)
+        ]
+        cate_convs = [
+            ConvModule(self.seg_feat_channels, 3, 1, 1, norm_cfg=gn,
+                       use_bias=False, kernel_init=init01,
+                       name=f'cate_conv_{i}')
+            for i in range(self.stacked_convs)
+        ]
+        solo_cate = Conv2d(self.num_classes, 3, 1, 1, kernel_init=init01,
+                           bias_init=bias_init_with_prob(0.01),
+                           name='solo_cate')
+        solo_kernel = Conv2d(self.ins_out_channels, 3, 1, 1,
+                             kernel_init=init01, name='solo_kernel')
+
+        kernels, cates = [], []
+        for lvl, x in enumerate(new_feats):
+            s = self.num_grids[lvl]
+            coord = _coord_feat(b, x.shape[1], x.shape[2])
+            # interpolate the coord-augmented feature to the grid FIRST
+            # (reference forward_single, discobox_head.py:817-833)
+            kfeat = interpolate_bilinear(
+                jnp.concatenate([x, coord], axis=-1), (s, s))
+            cfeat = kfeat[..., :-2]
+            for i in range(self.stacked_convs):
+                kfeat = kernel_convs[i](kfeat, train=train)
+                cfeat = cate_convs[i](cfeat, train=train)
+            kernel_pred = solo_kernel(kfeat)
+            cate_pred = solo_cate(cfeat)
+            if not train:
+                cate_pred = jax.nn.sigmoid(cate_pred)
+                cate_pred = points_nms_2x2(
+                    cate_pred.transpose(0, 3, 1, 2)).transpose(0, 2, 3, 1)
+            kernels.append(kernel_pred.reshape(b, s * s, -1))
+            cates.append(cate_pred.reshape(b, s * s, -1))
+        return dict(kernels=jnp.concatenate(kernels, axis=1),
+                    cates=jnp.concatenate(cates, axis=1))
+
+    def decode_masks(self, mask_feat, kernels):
+        return jnp.einsum('bhwe,bke->bkhw', mask_feat, kernels,
+                          preferred_element_type=jnp.float32)
+
+    # ------------------------------------------------------------------ loss
+    def loss(self, outs: Dict, mask_feat: jnp.ndarray,
+             batch: Dict[str, jnp.ndarray],
+             teacher: Optional[Dict] = None,
+             use_ts_gate: Optional[jnp.ndarray] = None,
+             corr_terms: Optional[Dict] = None) -> Dict[str, jnp.ndarray]:
+        """Student losses; teacher (optional) carries stop-gradient
+        kernels/mask_feat from the EMA replica. ``use_ts_gate`` is the
+        traced (0/1) avg_loss_ins<0.3 gate; the CRF term is always
+        computed and multiplicatively gated (XLA-friendly lax-free
+        control flow)."""
+        loss_cate_fn = LOSSES.build(self.loss_cate or dict(
+            type='FocalLoss', use_sigmoid=True, gamma=2.0, alpha=0.25,
+            loss_weight=1.0))
+        ins_w = (self.loss_ins or {}).get('loss_weight', 1.0)
+        ts_cfg = dict(self.loss_ts or {})
+        ts_w = ts_cfg.get('loss_weight', 1.0)
+
+        B, H, W, _ = batch['image'].shape
+        targets = solo_targets(
+            batch['gt_bboxes'], batch['gt_labels'], batch['gt_valid'],
+            batch['gt_masks'], (H, W), self.num_grids, self.scale_ranges,
+            self.sigma, self.num_classes, mask_stride=4, min_mask_area=1.0)
+        num_pos = targets.num_pos.astype(jnp.float32)
+        loss_cate = loss_cate_fn(outs['cates'], targets.cate_labels,
+                                 avg_factor=num_pos + 1.0)
+
+        cell_idx, gt_idx, valid = sample_positive_cells(
+            targets.cell_gt, self.max_pos)
+        vmask = valid.astype(jnp.float32)
+        denom = jnp.maximum(vmask.sum(), 1.0)
+
+        s_kernels = jnp.take_along_axis(outs['kernels'],
+                                        cell_idx[..., None], axis=1)
+        s_logits = self.decode_masks(mask_feat, s_kernels)
+        s_scores = jax.nn.sigmoid(s_logits)                  # (B,K,H4,W4)
+        box_mask = jax.lax.stop_gradient(jnp.take_along_axis(
+            batch['gt_masks'].astype(jnp.float32),
+            gt_idx[..., None, None], axis=1))
+
+        K = s_scores.shape[1]
+        h4, w4 = s_scores.shape[2:]
+        mil = mil_projection_loss(s_scores.reshape(B * K, h4, w4),
+                                  box_mask.reshape(B * K, h4, w4))
+        loss_ins = ins_w * (mil * vmask.reshape(-1)).sum() / denom
+
+        # --- teacher-student CRF term
+        if teacher is not None:
+            t_kernels = jnp.take_along_axis(teacher['kernels'],
+                                            cell_idx[..., None], axis=1)
+            t_scores = jax.nn.sigmoid(self.decode_masks(
+                teacher['mask_feat'], t_kernels))
+            t_scores = jax.lax.stop_gradient(t_scores)
+        else:
+            t_scores = s_scores
+
+        crf = MeanFieldCRF(
+            kernel_size=ts_cfg.get('kernel', 3),
+            theta0=ts_cfg.get('theta0', 0.5),
+            theta1=ts_cfg.get('theta1', 30.0),
+            theta2=ts_cfg.get('theta2', 20.0),
+            alpha0=ts_cfg.get('alpha0', 2.0),
+            base=ts_cfg.get('base', 0.10),
+            num_iter=ts_cfg.get('max_iter', 10))
+        color = jax.lax.stop_gradient(
+            interpolate_bilinear(batch['image'], (h4, w4),
+                                 align_corners=True))
+        kernel = crf.build_kernel(color)
+        iiu = corr_terms.get('iiu') if corr_terms else None
+        pseudo = crf(kernel, (s_scores + t_scores) / 2.0, box_mask,
+                     iiu=iiu)
+        pseudo = jax.lax.stop_gradient(pseudo)
+        # enlarged target: 3x3 dilation of the box mask
+        enlarged = jnp.stack(
+            [shift2d(box_mask, dy, dx, h_axis=2)
+             for dy, dx in neighbor_offsets(3, 1)] + [box_mask],
+            axis=0).max(axis=0)
+        ts = dice_loss_eps(
+            (s_scores * enlarged).reshape(B * K, -1),
+            pseudo.reshape(B * K, -1))
+        loss_ts_val = (ts * vmask.reshape(-1)).sum() / denom
+        if corr_terms and 'loss_ts_extra' in corr_terms:
+            loss_ts_val = loss_ts_val + corr_terms['loss_ts_extra']
+        gate = use_ts_gate if use_ts_gate is not None else jnp.float32(1.0)
+        loss_ts_val = ts_w * loss_ts_val * gate
+
+        losses = dict(loss_ins=loss_ins, loss_ts=loss_ts_val,
+                      loss_cate=loss_cate)
+        if corr_terms and 'loss_corr' in corr_terms:
+            losses['loss_corr'] = corr_terms['loss_corr']
+        return losses
+
+    # ------------------------------------------------------------- inference
+    def get_seg(self, outs: Dict, mask_feat: jnp.ndarray, test_cfg: Dict
+                ) -> Dict[str, jnp.ndarray]:
+        cfg = dict(test_cfg or {})
+        score_thr = float(cfg.get('score_thr', 0.1))
+        mask_thr = float(cfg.get('mask_thr', 0.4))
+        filter_thr = float(cfg.get('filter_thr', 0.05))
+        nms_pre = int(cfg.get('nms_pre', 500))
+        max_per_img = int(cfg.get('max_per_img', 100))
+        kernel = cfg.get('kernel', 'gaussian')
+        sigma = float(cfg.get('sigma', 2.0))
+
+        cates = outs['cates']
+        B, Pc, C = cates.shape
+        strides = np.concatenate([
+            np.full(s * s, st, np.float32)
+            for s, st in zip(self.num_grids, self.strides)])
+        strides = jnp.asarray(strides)
+
+        flat = jnp.where(cates > score_thr, cates, 0.0).reshape(B, Pc * C)
+        top_scores, top_idx = jax.lax.top_k(flat, min(nms_pre, Pc * C))
+        cell = top_idx // C
+        labels = (top_idx % C).astype(jnp.int32)
+        kernels = jnp.take_along_axis(outs['kernels'], cell[..., None],
+                                      axis=1)
+        mask_scores = jax.nn.sigmoid(self.decode_masks(mask_feat, kernels))
+        seg_masks = (mask_scores > mask_thr).astype(jnp.float32)
+        sum_masks = seg_masks.sum(axis=(2, 3))
+        keep = (sum_masks > strides[cell]) & (top_scores > 0)
+        seg_score = (mask_scores * seg_masks).sum(axis=(2, 3)) / \
+            jnp.maximum(sum_masks, 1e-6)
+        scores = jnp.where(keep, top_scores * seg_score, 0.0)
+        new_scores = jax.vmap(
+            lambda m, l, s, v: mask_matrix_nms(m, l, s, v, kernel=kernel,
+                                               sigma=sigma))(
+            seg_masks, labels, scores, keep)
+        new_scores = jnp.where(new_scores > filter_thr, new_scores, 0.0)
+        final_scores, order = jax.lax.top_k(new_scores,
+                                            min(max_per_img, Pc))
+        final_labels = jnp.take_along_axis(labels, order, axis=1)
+        final_masks = jnp.take_along_axis(mask_scores,
+                                          order[..., None, None], axis=1)
+        return dict(scores=final_scores, labels=final_labels,
+                    masks=final_masks, valid=final_scores > 0)
