@@ -1,3 +1,4 @@
 from .resnet import ResNet, ResNeXt
+from .swin import SwinTransformer
 
-__all__ = ['ResNet', 'ResNeXt']
+__all__ = ['ResNet', 'ResNeXt', 'SwinTransformer']

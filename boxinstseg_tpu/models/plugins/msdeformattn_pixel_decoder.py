@@ -1,0 +1,107 @@
+"""Pixel decoder with a multi-scale deformable-attention encoder
+(reference: mmdet/models/plugins/msdeformattn_pixel_decoder.py, 269 LoC).
+
+The 3 lowest-resolution levels (C5, C4, C3) are flattened into one token
+sequence with level encodings and refined by 6 deformable-attention
+layers; remaining levels (C2) get an FPN-style top-down pathway; the
+stride-4 output feeds a 1x1 mask-feature conv. The reference's CUDA
+``ms_deform_attn`` becomes the XLA gather/bilinear formulation in
+models/utils/transformer.py.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from ..layers import Conv2d, ConvModule
+from ..utils.positional_encoding import SinePositionalEncoding
+from ..utils.transformer import DetrTransformerEncoderLayer
+from ...ops.upsample import interpolate_bilinear
+from ...registry import PLUGINS
+
+
+@PLUGINS.register_module()
+class MSDeformAttnPixelDecoder(nn.Module):
+    in_channels: Sequence[int] = (256, 512, 1024, 2048)
+    strides: Sequence[int] = (4, 8, 16, 32)
+    feat_channels: int = 256
+    out_channels: int = 256
+    num_outs: int = 3
+    num_encoder_levels: int = 3
+    num_encoder_layers: int = 6
+    num_heads: int = 8
+    num_points: int = 4
+    feedforward_channels: int = 1024
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    encoder: Optional[dict] = None      # accepted for config parity
+    positional_encoding: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        """feats: (C2..C5) NHWC. Returns (mask_feature (B, H4, W4, C),
+        multi_scale_memories low->high res)."""
+        num_input = len(self.in_channels)
+        nel = self.num_encoder_levels
+        b = feats[0].shape[0]
+        pe = SinePositionalEncoding(num_feats=self.feat_channels // 2,
+                                    normalize=True)
+        level_enc = self.param(
+            'level_encoding', nn.initializers.normal(1.0),
+            (nel, self.feat_channels))
+
+        # ---- flatten the low-res levels (C5 first)
+        tokens, poss, shapes, refs = [], [], [], []
+        for i in range(nel):
+            level_idx = num_input - i - 1
+            x = feats[level_idx]
+            h, w = x.shape[1:3]
+            x = Conv2d(self.feat_channels, 1, 1, 0,
+                       name=f'input_conv_{i}')(x)
+            pos = pe(b, h, w) + level_enc[i]
+            # normalized reference points: grid centers / (stride * size)
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            ref = jnp.stack(jnp.meshgrid(xs, ys), axis=-1)  # (h, w, 2) xy
+            tokens.append(x.reshape(b, h * w, -1))
+            poss.append(pos.reshape(b, h * w, -1))
+            shapes.append((h, w))
+            refs.append(jnp.broadcast_to(ref.reshape(1, h * w, 2),
+                                         (b, h * w, 2)))
+        tokens = jnp.concatenate(tokens, axis=1)
+        poss = jnp.concatenate(poss, axis=1)
+        refs = jnp.concatenate(refs, axis=1)
+
+        for li in range(self.num_encoder_layers):
+            tokens = DetrTransformerEncoderLayer(
+                self.feat_channels, self.num_heads, nel, self.num_points,
+                self.feedforward_channels, name=f'encoder_layer_{li}')(
+                tokens, poss, shapes, refs)
+
+        # split back to maps, low -> high resolution
+        sizes = [h * w for h, w in shapes]
+        starts = np.cumsum([0] + sizes)
+        outs = [tokens[:, starts[i]:starts[i + 1]].reshape(
+            b, shapes[i][0], shapes[i][1], -1) for i in range(nel)]
+
+        # ---- FPN top-down for the remaining high-res levels
+        gn = self.norm_cfg or dict(type='GN', num_groups=32)
+        for i in range(num_input - nel - 1, -1, -1):
+            lateral = ConvModule(self.feat_channels, 1, 1, 0, norm_cfg=gn,
+                                 act=None, name=f'lateral_conv_{i}')(
+                feats[i], train=train)
+            y = lateral + interpolate_bilinear(outs[-1],
+                                               lateral.shape[1:3])
+            y = ConvModule(self.feat_channels, 3, 1, 1, norm_cfg=gn,
+                           act='relu', name=f'output_conv_{i}')(
+                y, train=train)
+            outs.append(y)
+
+        mask_feature = Conv2d(self.out_channels, 1, 1, 0,
+                              name='mask_feature')(outs[-1])
+        return mask_feature, outs[:self.num_outs]

@@ -1,0 +1,212 @@
+"""Transformer bricks for Box2Mask (reference:
+mmdet/models/utils/transformer.py + mmcv bricks).
+
+All blocks are batch-first (B, L, C) flax modules with dropout omitted
+(the shipped configs set every dropout to 0.0). Multi-scale deformable
+attention — a CUDA kernel in the reference (mmcv ``ms_deform_attn``,
+consumed at transformer.py:23) — is a gather + bilinear-sample formulation
+in pure XLA: O(L * heads * levels * points) samples, grid_sample
+align_corners=False semantics.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+
+class MultiheadAttention(nn.Module):
+    """Standard MHA with optional boolean attention mask (True = blocked),
+    torch-compatible q/k/v/out projections."""
+    embed_dims: int = 256
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, query, key, value, attn_mask=None):
+        """query: (B, Lq, C); key/value: (B, Lk, C);
+        attn_mask: (B, heads, Lq, Lk) bool or None."""
+        c = self.embed_dims
+        h = self.num_heads
+        d = c // h
+        q = nn.Dense(c, name='q_proj')(query)
+        k = nn.Dense(c, name='k_proj')(key)
+        v = nn.Dense(c, name='v_proj')(value)
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+        q = q.reshape(b, lq, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(b, lk, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b, lk, h, d).transpose(0, 2, 1, 3)
+        scores = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                            preferred_element_type=jnp.float32) / math.sqrt(d)
+        if attn_mask is not None:
+            scores = jnp.where(attn_mask, -1e9, scores)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum('bhqk,bhkd->bhqd', attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, c)
+        return nn.Dense(c, name='out_proj')(out)
+
+
+class FFN(nn.Module):
+    embed_dims: int = 256
+    feedforward_channels: int = 2048
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.feedforward_channels, name='fc1')(x)
+        y = jax.nn.relu(y)
+        y = nn.Dense(self.embed_dims, name='fc2')(y)
+        return x + y
+
+
+def _grid_sample_bilinear(value: jnp.ndarray, loc_x: jnp.ndarray,
+                          loc_y: jnp.ndarray) -> jnp.ndarray:
+    """Zero-padded bilinear sampling, grid_sample align_corners=False.
+
+    value: (B, H, W, C); loc_x/loc_y: (B, N) normalized to [0, 1].
+    Returns (B, N, C).
+    """
+    b, h, w, c = value.shape
+    x = loc_x * w - 0.5
+    y = loc_y * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    def gather(yy, xx):
+        inb = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        xi = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        flat = value.reshape(b, h * w, c)
+        idx = yi * w + xi
+        out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return out * inb[..., None]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+            + wy * ((1 - wx) * v10 + wx * v11))
+
+
+def _msda_offset_bias_init(num_heads, num_levels, num_points):
+    """Directional grid init of sampling offsets (matches
+    MultiScaleDeformableAttention.init_weights in mmcv)."""
+    thetas = np.arange(num_heads) * (2.0 * math.pi / num_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)     # (h, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+    for p in range(num_points):
+        grid[:, :, p, :] *= p + 1
+    return grid.reshape(-1).astype(np.float32)
+
+
+class MultiScaleDeformableAttention(nn.Module):
+    """Deformable attention over concatenated multi-level features."""
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 3
+    num_points: int = 4
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray, value: jnp.ndarray,
+                 spatial_shapes: Sequence[Tuple[int, int]],
+                 reference_points: jnp.ndarray) -> jnp.ndarray:
+        """query: (B, L, C); value: (B, S, C) concat of levels;
+        spatial_shapes: static [(h, w)] per level;
+        reference_points: (B, L, 2) normalized (shared across levels)."""
+        c = self.embed_dims
+        h = self.num_heads
+        d = c // h
+        nl = self.num_levels
+        npnt = self.num_points
+        b, l, _ = query.shape
+
+        v = nn.Dense(c, name='value_proj')(value)
+        offsets = nn.Dense(
+            h * nl * npnt * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *a: jnp.asarray(
+                _msda_offset_bias_init(h, nl, npnt)),
+            name='sampling_offsets')(query)
+        offsets = offsets.reshape(b, l, h, nl, npnt, 2)
+        attn = nn.Dense(h * nl * npnt, kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros,
+                        name='attention_weights')(query)
+        attn = jax.nn.softmax(attn.reshape(b, l, h, nl * npnt), axis=-1)
+        attn = attn.reshape(b, l, h, nl, npnt)
+
+        # split the value into levels
+        sizes = [int(hh * ww) for hh, ww in spatial_shapes]
+        starts = np.cumsum([0] + sizes)
+
+        out = jnp.zeros((b, l, h, d), v.dtype)
+        for lvl, (hh, ww) in enumerate(spatial_shapes):
+            vl = v[:, starts[lvl]:starts[lvl + 1]]
+            vl = vl.reshape(b, hh, ww, h, d)
+            # normalized sampling locations for this level
+            loc = reference_points[:, :, None, None, :] + \
+                offsets[:, :, :, lvl] / jnp.asarray(
+                    [ww, hh], jnp.float32)                 # (b,l,h,p,2)
+            for head in range(h):
+                vh = vl[..., head, :]                       # (b,hh,ww,d)
+                lx = loc[:, :, head, :, 0].reshape(b, l * npnt)
+                ly = loc[:, :, head, :, 1].reshape(b, l * npnt)
+                smp = _grid_sample_bilinear(vh, lx, ly)     # (b, l*p, d)
+                smp = smp.reshape(b, l, npnt, d)
+                w_hp = attn[:, :, head, lvl][..., None]     # (b,l,p,1)
+                out = out.at[:, :, head].add((smp * w_hp).sum(axis=2))
+        out = out.reshape(b, l, c)
+        return nn.Dense(c, name='output_proj')(out)
+
+
+class DetrTransformerEncoderLayer(nn.Module):
+    """('self_attn'=MSDeformAttn, 'norm', 'ffn', 'norm') post-norm layer."""
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 3
+    num_points: int = 4
+    feedforward_channels: int = 1024
+
+    @nn.compact
+    def __call__(self, x, pos, spatial_shapes, reference_points):
+        attn = MultiScaleDeformableAttention(
+            self.embed_dims, self.num_heads, self.num_levels,
+            self.num_points, name='attn')(
+            x + pos, x, spatial_shapes, reference_points)
+        x = nn.LayerNorm(name='norm1')(x + attn)
+        x = FFN(self.embed_dims, self.feedforward_channels, name='ffn')(x)
+        return nn.LayerNorm(name='norm2')(x)
+
+
+class DetrTransformerDecoderLayer(nn.Module):
+    """('cross_attn', 'norm', 'self_attn', 'norm', 'ffn', 'norm')
+    post-norm layer (reference: DetrTransformerDecoderLayer operation
+    order in the Box2Mask config)."""
+    embed_dims: int = 256
+    num_heads: int = 8
+    feedforward_channels: int = 2048
+
+    @nn.compact
+    def __call__(self, query, key, value, query_pos, key_pos,
+                 cross_attn_mask=None):
+        ca = MultiheadAttention(self.embed_dims, self.num_heads,
+                                name='cross_attn')(
+            query + query_pos, key + key_pos, value,
+            attn_mask=cross_attn_mask)
+        query = nn.LayerNorm(name='norm1')(query + ca)
+        sa = MultiheadAttention(self.embed_dims, self.num_heads,
+                                name='self_attn')(
+            query + query_pos, query + query_pos, query)
+        query = nn.LayerNorm(name='norm2')(query + sa)
+        query = FFN(self.embed_dims, self.feedforward_channels,
+                    name='ffn')(query)
+        return nn.LayerNorm(name='norm3')(query)
