@@ -18,7 +18,8 @@ from ..data.batcher import StaticBatcher
 from ..data.loader import TrainLoader
 from ..engine import (build_lr_schedule, build_optimizer, create_train_state,
                       init_variables, latest_step, make_train_step,
-                      restore_checkpoint, save_checkpoint)
+                      make_ts_train_step, restore_checkpoint,
+                      save_checkpoint)
 from ..parallel import get_data_mesh, shard_batch
 from ..utils.logging import get_root_logger
 
@@ -50,7 +51,10 @@ def train_detector(model, dataset, cfg: Config,
         canvases=cfg.get('canvases', default_canvases(cfg)),
         max_gts=cfg.get('max_gts', 100),
         bottom_pixels_removed=mask_head_cfg.get('bottom_pixels_removed', 10),
-        with_masks=not mask_head_cfg.get('boxinst_enabled', True),
+        with_masks=bool(cfg.get('with_gt_masks',
+                                not mask_head_cfg.get('boxinst_enabled',
+                                                      True))),
+        mask_stride=4,
     )
     loader = TrainLoader(dataset, global_batch, batcher,
                          num_workers=data_cfg.get('workers_per_gpu', 2)
@@ -81,10 +85,14 @@ def train_detector(model, dataset, cfg: Config,
     if init_params is not None:  # pretrained backbone etc.
         variables = _merge_pretrained(variables, init_params)
 
+    paramwise_lr_fn = _paramwise_lr_fn(cfg.optimizer)
     tx = build_optimizer(cfg.optimizer, sched,
                          optimizer_config=cfg.get('optimizer_config'),
-                         params_example=variables['params'])
-    state = create_train_state(model, variables, tx)
+                         params_example=variables['params'],
+                         paramwise_lr_fn=paramwise_lr_fn)
+    use_ts = cfg.model.get('type') in ('DiscoBoxSOLOv2',
+                                       'SingleStageWSInsTSDetector')
+    state = create_train_state(model, variables, tx, ema=use_ts)
 
     work_dir = cfg.get('work_dir', './work_dir')
     ckpt_dir = os.path.join(work_dir, 'checkpoints')
@@ -94,7 +102,15 @@ def train_detector(model, dataset, cfg: Config,
             state = restored
             logger.info(f'resumed from step {int(state.step)}')
 
-    step_fn = make_train_step(model, tx, mesh=mesh)
+    if use_ts:
+        ts_cfg = dict(cfg.get('ts_cfg', {}))
+        step_fn = make_ts_train_step(
+            model, tx, mesh=mesh,
+            momentum=ts_cfg.get('momentum', 0.999),
+            start_iter=ts_cfg.get('start_iter', 13000),
+            ts_thresh=ts_cfg.get('ts_thresh', 0.3))
+    else:
+        step_fn = make_train_step(model, tx, mesh=mesh)
     repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     state = jax.device_put(state, repl)
 
@@ -131,6 +147,28 @@ def train_detector(model, dataset, cfg: Config,
                                          val_dataset, cfg)
                 logger.info(f'eval @ iter {i + 1}: {metrics}')
     return state
+
+
+def _paramwise_lr_fn(optimizer_cfg):
+    """mmcv paramwise_cfg.custom_keys -> per-parameter LR multipliers
+    (reference: Box2Mask AdamW recipe — backbone lr x0.1, embeddings
+    decay 0)."""
+    custom = (optimizer_cfg.get('paramwise_cfg', {}) or {}).get(
+        'custom_keys', {})
+    if not custom:
+        return None
+    # longest-prefix-match on the path string
+    keys = sorted(custom.items(), key=lambda kv: -len(kv[0]))
+
+    def fn(path: str) -> float:
+        lowered = path.lower()
+        for key, spec in keys:
+            k = key.replace('backbone', 'backbone_m').replace('.', '/')
+            if k.lower() in lowered:
+                return float(spec.get('lr_mult', 1.0))
+        return 1.0
+
+    return fn
 
 
 def _merge_pretrained(variables, init):

@@ -35,6 +35,7 @@ class TrainState(struct.PyTreeNode):
     ema_params: Any = None                 # teacher / EMA replica (DiscoBox)
     ema_batch_stats: Any = None
     avg_loss_ins: Any = None               # DiscoBox gating scalar
+    corr_state: Any = None                 # DiscoBox object bank
 
     def variables(self):
         v = {'params': self.params}
@@ -50,7 +51,8 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(model, variables, tx: optax.GradientTransformation,
-                       ema: bool = False) -> TrainState:
+                       ema: bool = False, corr_state: Any = None
+                       ) -> TrainState:
     params = variables['params']
     copy = lambda t: jax.tree_util.tree_map(lambda x: x, t)
     return TrainState(
@@ -63,6 +65,7 @@ def create_train_state(model, variables, tx: optax.GradientTransformation,
         # reference initializes the running loss gate at 2.0
         # (single_stage_ts.py:163)
         avg_loss_ins=jnp.asarray(2.0, jnp.float32) if ema else None,
+        corr_state=corr_state,
     )
 
 
@@ -143,21 +146,24 @@ def make_ts_train_step(model, tx: optax.GradientTransformation,
     after.
     """
 
-    def loss_fn(params, batch_stats, batch, step, teacher_out, gates):
+    def loss_fn(params, batch_stats, batch, step, teacher_out, gates,
+                bank):
         variables = {'params': params}
         mutable = []
         if batch_stats is not None:
             variables['batch_stats'] = batch_stats
             mutable = ['batch_stats']
         out = model.apply(variables, batch, step, teacher_out, gates,
-                          method=model.loss, mutable=mutable)
+                          bank, method=model.loss, mutable=mutable)
         if mutable:
             losses, new_state = out
             new_bs = new_state.get('batch_stats')
         else:
             losses, new_bs = out, None
-        total = sum(v for k, v in losses.items() if 'loss' in k)
-        return total, (losses, new_bs)
+        corr_append = losses.pop('_corr_append', None)
+        total = sum(v for k, v in losses.items()
+                    if 'loss' in k and not k.startswith('_'))
+        return total, (losses, new_bs, corr_append)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         turn_on = jnp.asarray(
@@ -172,9 +178,10 @@ def make_ts_train_step(model, tx: optax.GradientTransformation,
                                   method=model.teacher_outputs)
         teacher_out = jax.lax.stop_gradient(teacher_out)
 
-        (total, (losses, new_bs)), grads = jax.value_and_grad(
+        (total, (losses, new_bs, corr_append)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   state.step, teacher_out, gates)
+                                   state.step, teacher_out, gates,
+                                   state.corr_state)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -190,11 +197,19 @@ def make_ts_train_step(model, tx: optax.GradientTransformation,
                 lambda e, p: m * e + (1.0 - m) * p, ema_bs, new_bs_eff)
         new_avg = state.avg_loss_ins * 0.9 + 0.1 * losses['loss_ins']
 
+        new_bank = state.corr_state
+        if new_bank is not None and corr_append is not None:
+            from ..ops.correspondence import bank_append
+            new_bank = bank_append(
+                new_bank, corr_append['labels'], corr_append['feats'],
+                corr_append['masks'], corr_append['boxes'],
+                corr_append['valid'])
+
         new_state = state.replace(
             step=state.step + 1, params=new_params,
             batch_stats=new_bs_eff, opt_state=new_opt,
             ema_params=ema, ema_batch_stats=ema_bs,
-            avg_loss_ins=new_avg)
+            avg_loss_ins=new_avg, corr_state=new_bank)
         logs = {k: v for k, v in losses.items()}
         logs['loss'] = total
         logs['avg_loss_ins'] = state.avg_loss_ins

@@ -32,7 +32,10 @@ from ..layers import Conv2d, ConvModule, normal_conv_init, \
     bias_init_with_prob
 from ...core.targets.solo import sample_positive_cells, solo_targets
 from ...ops.color import neighbor_offsets, shift2d
+from ...ops.correspondence import (bank_retrieve, info_nce_loss,
+                                   relu_l2_norm, solve_correspondence)
 from ...ops.nms import mask_matrix_nms, points_nms_2x2
+from ...ops.roi_align import roi_align
 from ...ops.upsample import interpolate_bilinear
 from ...registry import HEADS, LOSSES
 
@@ -43,6 +46,37 @@ def _coord_feat(b, h, w):
     x = jnp.broadcast_to(xs[None, None, :], (b, h, w))
     y = jnp.broadcast_to(ys[None, :, None], (b, h, w))
     return jnp.stack([x, y], axis=-1)
+
+
+def _paste_roi(ci: jnp.ndarray, box: jnp.ndarray, h: int, w: int
+               ) -> jnp.ndarray:
+    """Paste a (2, mh, mw) ROI map into a (2, h, w) canvas over ``box``
+    (xyxy, grid coords) via inverse-ROI bilinear sampling — the static
+    shape dual of the reference's dynamic-slice paste
+    (discobox_head.py:1104-1108)."""
+    mh, mw = ci.shape[1:]
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    bw = jnp.maximum(box[2] - box[0], 1e-3)
+    bh = jnp.maximum(box[3] - box[1], 1e-3)
+    u = (xs - box[0]) / bw * mw - 0.5          # ROI-space coords
+    v = (ys - box[1]) / bh * mh - 0.5
+    inside = ((xs >= box[0]) & (xs < box[2]))[None, :] & \
+             ((ys >= box[1]) & (ys < box[3]))[:, None]
+
+    v0 = jnp.floor(v)
+    u0 = jnp.floor(u)
+    fv = (v - v0)[:, None]
+    fu = (u - u0)[None, :]
+
+    def g(yy, xx):
+        yi = jnp.clip(yy, 0, mh - 1).astype(jnp.int32)
+        xi = jnp.clip(xx, 0, mw - 1).astype(jnp.int32)
+        return ci[:, yi][:, :, xi]             # (2, h, w)
+
+    out = ((1 - fv) * ((1 - fu) * g(v0, u0) + fu * g(v0, u0 + 1))
+           + fv * ((1 - fu) * g(v0 + 1, u0) + fu * g(v0 + 1, u0 + 1)))
+    return out * inside[None]
 
 
 def dice_loss_eps(x: jnp.ndarray, t: jnp.ndarray, eps: float = 1e-3
@@ -200,6 +234,15 @@ class DiscoBoxSOLOv2Head(nn.Module):
     type_dcn: Optional[str] = None
     init_cfg: Optional[Any] = None
     max_pos: int = 128          # static positive capacity per batch image
+    max_corr_queries: int = 16  # static query capacity for the corr loss
+
+    @property
+    def corr_cfg(self) -> Dict:
+        return dict(self.loss_corr or {})
+
+    @property
+    def obj_bank_cfg(self) -> Dict:
+        return dict(self.corr_cfg.get('obj_bank', {}))
 
     @property
     def num_cells(self) -> int:
@@ -261,12 +304,152 @@ class DiscoBoxSOLOv2Head(nn.Module):
         return jnp.einsum('bhwe,bke->bkhw', mask_feat, kernels,
                           preferred_element_type=jnp.float32)
 
+    # ---------------------------------------------------- correspondence
+    def _mask_boxes(self, box_mask: jnp.ndarray) -> jnp.ndarray:
+        """(B, K, H, W) -> (B, K, 4) tight xyxy extents in grid coords
+        (reference derives ROI boxes from target extents,
+        discobox_head.py:1030-1037)."""
+        rows = box_mask.max(axis=3) > 0          # (B, K, H)
+        cols = box_mask.max(axis=2) > 0          # (B, K, W)
+        h = rows.shape[-1]
+        w = cols.shape[-1]
+        min_y = jnp.argmax(rows, axis=-1)
+        max_y = h - jnp.argmax(rows[..., ::-1], axis=-1)
+        min_x = jnp.argmax(cols, axis=-1)
+        max_x = w - jnp.argmax(cols[..., ::-1], axis=-1)
+        return jnp.stack([min_x, min_y, max_x, max_y], -1).astype(
+            jnp.float32)
+
+    def _corr_terms(self, bank, s_scores, t_scores, box_mask, labels_k,
+                    valid_k, s_feat, t_feat, corr_gate):
+        """Cross-image correspondence loss + inter-image (iiu) CRF priors
+        + bank append entries (reference corr_loss,
+        discobox_head.py:900-1139)."""
+        cfg = self.corr_cfg
+        ob = self.obj_bank_cfg
+        fh = ob.get('feat_height', 7)
+        fw = ob.get('feat_width', 7)
+        mh = ob.get('mask_height', 28)
+        mw = ob.get('mask_width', 28)
+        min_size = ob.get('min_size', 32)
+        B, K, H4, W4 = s_scores.shape
+        Q = self.max_corr_queries
+
+        boxes = jax.lax.stop_gradient(self._mask_boxes(box_mask))
+        # flatten and take the first Q valid instances across the batch
+        flat_valid = valid_k.reshape(-1)
+        key = jnp.where(flat_valid, jnp.arange(B * K),
+                        B * K + jnp.arange(B * K))
+        order = jnp.argsort(key)[:Q]
+        q_valid = jnp.take(flat_valid, order)
+        img_idx = (order // K).astype(jnp.float32)
+        q_boxes = boxes.reshape(-1, 4)[order]
+        q_labels = labels_k.reshape(-1)[order]
+
+        rois_feat = jnp.concatenate([img_idx[:, None], q_boxes], axis=1)
+        q_feat = relu_l2_norm(
+            roi_align(s_feat, rois_feat, (fh, fw)), axis=-1)
+        t_feat_eff = t_feat if t_feat is not None else \
+            jax.lax.stop_gradient(s_feat)
+        qt_feat = relu_l2_norm(
+            roi_align(jax.lax.stop_gradient(t_feat_eff), rois_feat,
+                      (fh, fw)), axis=-1)
+
+        inst_scores = jax.lax.stop_gradient(
+            s_scores.reshape(B * K, H4, W4, 1))
+        rois_mask = jnp.concatenate(
+            [order[:, None].astype(jnp.float32), q_boxes], axis=1)
+        q_mask = roi_align(inst_scores, rois_mask, (mh, mw))[..., 0]
+        inst_t = jax.lax.stop_gradient(t_scores.reshape(B * K, H4, W4, 1))
+        qt_mask = roi_align(inst_t, rois_mask, (mh, mw))[..., 0]
+
+        # retrieval
+        kf, km, pair_valid = jax.vmap(
+            lambda l, f, m, b: bank_retrieve(
+                bank, l, f, m, b,
+                fg_iou_thresh=ob.get('fg_iou_thresh', 0.7),
+                bg_iou_thresh=ob.get('bg_iou_thresh', 0.7),
+                appear_thresh=ob.get('appear_thresh', 0.7),
+                ratio_range=tuple(ob.get('ratio_range', (0.9, 1.2))),
+                max_retrieval=ob.get('max_retrieval_objs', 5)))(
+            q_labels, q_feat, q_mask, q_boxes)
+        R = kf.shape[1]
+        q_ok = q_valid & (pair_valid.sum(-1) >= min(5, R))
+
+        # regularized Hough matching per query against its R keys
+        qcells = q_feat.reshape(Q, 1, fh * fw, -1)
+        qcells = jnp.broadcast_to(qcells, (Q, R) + qcells.shape[2:])
+        kcells = kf.reshape(Q, R, fh * fw, -1)
+        cu, t_assign = jax.vmap(
+            lambda qq, kk: solve_correspondence(
+                qq, kk, (fh, fw),
+                num_iter=cfg.get('corr_num_iter', 10),
+                num_smooth_iter=cfg.get('corr_num_smooth_iter', 1),
+                dist_kernel=cfg.get('dist_kernel', 9)))(qcells, kcells)
+
+        # reference quirk: CrossEntropyLoss receives the already-softmaxed
+        # Cu as "logits" (discobox_head.py:1083-1086) — replicate it
+        cu_soft = jax.nn.softmax(cu, axis=-1)
+        per_q = jax.vmap(info_nce_loss)(cu_soft, t_assign, pair_valid)
+        okf = q_ok.astype(jnp.float32)
+        loss_corr = (per_q * okf).sum() / jnp.maximum(okf.sum(), 1e-4)
+        loss_corr = loss_corr * cfg.get('loss_weight', 1.0) * corr_gate
+
+        # ---- inter-image priors (iiu) for the CRF
+        iiu = jnp.zeros((B * K, 2, H4, W4), jnp.float32)
+        nmask = mh * mw
+        up = lambda x, hw: interpolate_bilinear(x, hw)
+        for qi in range(Q):
+            t_q = jax.lax.stop_gradient(t_assign[qi])          # (R,49,49)
+            t_q = t_q * jax.lax.stop_gradient(
+                jax.nn.softmax(cu[qi], axis=2))
+            t_q = t_q / (t_q.sum(2, keepdims=True) + 1e-5)
+            # superres (R, 49, 49) -> (R, 784, 784)
+            tq = t_q.reshape(R, fh * fw, fh, fw, 1)
+            tq = up(tq.reshape(R * fh * fw, fh, fw, 1),
+                    (mh, mw)).reshape(R, fh * fw, nmask)
+            tq = tq.transpose(0, 2, 1).reshape(R * nmask, fh, fw, 1)
+            tq = up(tq, (mh, mw)).reshape(R, nmask, nmask)
+            tq = tq.transpose(0, 2, 1) * (fh * fw / nmask)
+            qm = q_mask[qi].reshape(-1)                         # (784,)
+            kmf = km[qi].reshape(R, -1)
+            fg_pair = (qm[None, :, None] * kmf[:, None, :]) > 0.5
+            bg_pair = ((1 - qm)[None, :, None]
+                       * (1 - kmf)[:, None, :]) > 0.5
+            pv = pair_valid[qi].astype(jnp.float32)
+            denom_r = jnp.maximum(pv.sum(), 1e-4)
+            fg_ci = jnp.einsum(
+                'rnm,rm->n', tq * fg_pair,
+                jnp.clip(kmf, 0.1, 0.9) * pv[:, None]) / denom_r
+            bg_ci = jnp.einsum(
+                'rnm,rm->n', tq * bg_pair,
+                jnp.clip(1 - kmf, 0.1, 0.9) * pv[:, None]) / denom_r
+            ci = jnp.stack([bg_ci, fg_ci]).reshape(2, mh, mw)
+            canvas = _paste_roi(ci, q_boxes[qi], H4, W4)
+            slot = order[qi]
+            iiu = iiu.at[slot].add(
+                canvas * q_ok[qi].astype(jnp.float32))
+        iiu = jax.lax.stop_gradient(
+            iiu.reshape(B, K, 2, H4, W4) * corr_gate)
+
+        # ---- bank append entries (teacher crops; reference :1117-1131)
+        wide = (q_boxes[:, 2] - q_boxes[:, 0]) > min_size
+        tall = (q_boxes[:, 3] - q_boxes[:, 1]) > min_size
+        append = dict(labels=q_labels,
+                      feats=jax.lax.stop_gradient(qt_feat),
+                      masks=jax.lax.stop_gradient(qt_mask),
+                      boxes=q_boxes,
+                      valid=q_valid & wide & tall & (corr_gate > 0))
+        return loss_corr, iiu, append
+
     # ------------------------------------------------------------------ loss
     def loss(self, outs: Dict, mask_feat: jnp.ndarray,
              batch: Dict[str, jnp.ndarray],
              teacher: Optional[Dict] = None,
              use_ts_gate: Optional[jnp.ndarray] = None,
-             corr_terms: Optional[Dict] = None) -> Dict[str, jnp.ndarray]:
+             corr_gate: Optional[jnp.ndarray] = None,
+             bank=None, s_feat=None, t_feat=None
+             ) -> Dict[str, jnp.ndarray]:
         """Student losses; teacher (optional) carries stop-gradient
         kernels/mask_feat from the EMA replica. ``use_ts_gate`` is the
         traced (0/1) avg_loss_ins<0.3 gate; the CRF term is always
@@ -317,6 +500,21 @@ class DiscoBoxSOLOv2Head(nn.Module):
         else:
             t_scores = s_scores
 
+        # --- cross-image correspondence (reference gates it on
+        # avg_loss_ins < 0.2 and feeds its iiu priors into a second CRF
+        # pass whose dice adds into loss_ts, discobox_head.py:1310-1339)
+        loss_corr = None
+        iiu = None
+        corr_append = None
+        if bank is not None and self.loss_corr is not None \
+                and s_feat is not None:
+            labels_k = jnp.take_along_axis(batch['gt_labels'], gt_idx,
+                                           axis=1)
+            cg = corr_gate if corr_gate is not None else jnp.float32(0.0)
+            loss_corr, iiu, corr_append = self._corr_terms(
+                bank, s_scores, t_scores, box_mask, labels_k, valid,
+                s_feat, t_feat, cg)
+
         crf = MeanFieldCRF(
             kernel_size=ts_cfg.get('kernel', 3),
             theta0=ts_cfg.get('theta0', 0.5),
@@ -329,28 +527,33 @@ class DiscoBoxSOLOv2Head(nn.Module):
             interpolate_bilinear(batch['image'], (h4, w4),
                                  align_corners=True))
         kernel = crf.build_kernel(color)
-        iiu = corr_terms.get('iiu') if corr_terms else None
-        pseudo = crf(kernel, (s_scores + t_scores) / 2.0, box_mask,
-                     iiu=iiu)
-        pseudo = jax.lax.stop_gradient(pseudo)
+        avg_scores = (s_scores + t_scores) / 2.0
+        pseudo = jax.lax.stop_gradient(
+            crf(kernel, avg_scores, box_mask))
         # enlarged target: 3x3 dilation of the box mask
         enlarged = jnp.stack(
             [shift2d(box_mask, dy, dx, h_axis=2)
              for dy, dx in neighbor_offsets(3, 1)] + [box_mask],
             axis=0).max(axis=0)
-        ts = dice_loss_eps(
-            (s_scores * enlarged).reshape(B * K, -1),
-            pseudo.reshape(B * K, -1))
+        s_flat = (s_scores * enlarged).reshape(B * K, -1)
+        ts = dice_loss_eps(s_flat, pseudo.reshape(B * K, -1))
         loss_ts_val = (ts * vmask.reshape(-1)).sum() / denom
-        if corr_terms and 'loss_ts_extra' in corr_terms:
-            loss_ts_val = loss_ts_val + corr_terms['loss_ts_extra']
+        if iiu is not None:
+            pseudo_iiu = jax.lax.stop_gradient(
+                crf(kernel, avg_scores, box_mask, iiu=iiu))
+            ts2 = dice_loss_eps(s_flat, pseudo_iiu.reshape(B * K, -1))
+            cg = corr_gate if corr_gate is not None else jnp.float32(0.0)
+            loss_ts_val = loss_ts_val + cg * (
+                ts2 * vmask.reshape(-1)).sum() / denom
         gate = use_ts_gate if use_ts_gate is not None else jnp.float32(1.0)
         loss_ts_val = ts_w * loss_ts_val * gate
 
         losses = dict(loss_ins=loss_ins, loss_ts=loss_ts_val,
                       loss_cate=loss_cate)
-        if corr_terms and 'loss_corr' in corr_terms:
-            losses['loss_corr'] = corr_terms['loss_corr']
+        if loss_corr is not None:
+            losses['loss_corr'] = loss_corr
+        if corr_append is not None:
+            losses['_corr_append'] = corr_append
         return losses
 
     # ------------------------------------------------------------- inference

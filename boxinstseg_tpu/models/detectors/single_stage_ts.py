@@ -61,17 +61,20 @@ class SingleStageWSInsDetector(nn.Module):
         outs = self.bbox_head_m(feats, train=True)  # logits, no points-nms
         mask_feat = self.mask_feat_head_m(self._mask_feat_inputs(feats),
                                           train=False)
-        return dict(kernels=outs['kernels'], mask_feat=mask_feat)
+        return dict(kernels=outs['kernels'], mask_feat=mask_feat,
+                    p2=feats[0])
 
     def loss(self, batch: Dict[str, jnp.ndarray], iteration: jnp.ndarray,
              teacher_out: Optional[Dict] = None,
-             gates: Optional[Dict] = None) -> Dict[str, jnp.ndarray]:
+             gates: Optional[Dict] = None,
+             bank=None) -> Dict[str, jnp.ndarray]:
         feats = self.extract_feat(batch['image'], train=True)
         outs = self.bbox_head_m(feats, train=True)
         mask_feat = self.mask_feat_head_m(self._mask_feat_inputs(feats),
                                           train=True)
         gates = gates or {}
         teacher = None
+        t_feat = None
         if teacher_out is not None:
             tg = gates.get('teacher', jnp.float32(0.0))
             # blend: before turn-on the reference uses the student itself
@@ -80,9 +83,14 @@ class SingleStageWSInsDetector(nn.Module):
                 + (1.0 - tg) * jax.lax.stop_gradient(outs['kernels']),
                 mask_feat=tg * teacher_out['mask_feat']
                 + (1.0 - tg) * jax.lax.stop_gradient(mask_feat))
+            if 'p2' in teacher_out:
+                t_feat = tg * teacher_out['p2'] + (1.0 - tg) * \
+                    jax.lax.stop_gradient(feats[0])
         return self.bbox_head_m.loss(
             outs, mask_feat, batch, teacher=teacher,
-            use_ts_gate=gates.get('ts'))
+            use_ts_gate=gates.get('ts'),
+            corr_gate=gates.get('corr'),
+            bank=bank, s_feat=feats[0], t_feat=t_feat)
 
     def predict(self, batch: Dict[str, jnp.ndarray]
                 ) -> Dict[str, jnp.ndarray]:

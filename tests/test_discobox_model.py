@@ -142,3 +142,49 @@ def test_predict_shapes(setup):
     d = out['scores'].shape[1]
     assert out['masks'].shape == (2, d, H // 4, W // 4)
     assert out['labels'].shape == (2, d)
+
+
+def test_corr_loss_and_bank_threading():
+    """Full TS step with the cross-image correspondence branch enabled:
+    bank lives in TrainState, loss_corr is finite, appends happen when
+    the gate opens."""
+    cfg = tiny_cfg()
+    cfg['bbox_head']['loss_corr'] = dict(
+        type='InfoNCE', loss_weight=1.0, corr_exp=1.0, corr_eps=0.05,
+        gaussian_filter_size=3, low_score=0.3, corr_num_iter=2,
+        corr_num_smooth_iter=1, dist_kernel=5,
+        obj_bank=dict(len_object_queues=8, fg_iou_thresh=0.5,
+                      bg_iou_thresh=0.5, ratio_range=[0.5, 2.0],
+                      appear_thresh=0.5, max_retrieval_objs=5,
+                      feat_height=7, feat_width=7, mask_height=14,
+                      mask_width=14, min_size=2, num_gpu_bank=4))
+    cfg['bbox_head']['max_corr_queries'] = 4
+    model = build_detector(cfg)
+    batch = synth_batch(np.random.RandomState(0))
+    from boxinstseg_tpu.engine import (build_optimizer, create_train_state,
+                                       init_variables, make_ts_train_step,
+                                       step_lr_schedule)
+    from boxinstseg_tpu.ops.correspondence import create_object_bank
+    bank = create_object_bank(NUM_CLASSES, 8, (7, 7), (14, 14),
+                              feat_dim=32)
+    variables = init_variables(
+        model, {'params': jax.random.PRNGKey(0)}, batch,
+        jnp.zeros((), jnp.int32), None, None, bank, method=model.loss)
+    tx = build_optimizer(
+        dict(type='SGD', lr=0.01, momentum=0.9, weight_decay=1e-4),
+        step_lr_schedule(0.01, warmup=None, warmup_iters=0))
+    state = create_train_state(model, variables, tx, ema=True,
+                               corr_state=bank)
+    # force the gates open from the start
+    state = state.replace(avg_loss_ins=jnp.asarray(0.1, jnp.float32))
+    step = make_ts_train_step(model, tx, mesh=None, momentum=0.9,
+                              start_iter=0, donate=False)
+    state, logs = step(state, batch)
+    assert np.isfinite(float(logs['loss'])), logs
+    assert 'loss_corr' in logs
+    assert np.isfinite(float(logs['loss_corr']))
+    # the bank received appends (synthetic boxes exceed min_size=2)
+    assert int(state.corr_state.count.sum()) > 0
+    # second step: retrieval may now fire; still finite
+    state, logs = step(state, batch)
+    assert np.isfinite(float(logs['loss']))
