@@ -188,6 +188,59 @@ class CondInstBoxHead(nn.Module):
 
 
 @HEADS.register_module()
+class CondInstSegmHead(nn.Module):
+    """Optional auxiliary semantic head (reference: CondInstSegmHead,
+    condinst_head.py:878-968): a small conv stack on P3 predicting
+    min-area per-pixel semantics with focal loss."""
+    num_classes: int
+    in_channels: int = 256
+    in_stride: int = 8
+    stacked_convs: int = 2
+    feat_channels: int = 128
+    loss_segm: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.norm_cfg or dict(type='BN')
+        for i in range(self.stacked_convs):
+            x = ConvModule(self.feat_channels, 3, 1, 1, norm_cfg=norm,
+                           name=f'segm_{i}')(x, train=train)
+        return Conv2d(self.num_classes, 1, 1, 0,
+                      bias_init=bias_init_with_prob(0.01),
+                      name='segm_conv')(x)
+
+    def loss(self, segm_pred: jnp.ndarray, gt_masks: jnp.ndarray,
+             gt_labels: jnp.ndarray, gt_valid: jnp.ndarray,
+             mask_stride: int = 4) -> Dict[str, jnp.ndarray]:
+        """Min-area semantic targets (reference get_targets,
+        condinst_head.py:940-968). segm_pred: (B, Hs, Ws, C) at
+        in_stride; gt_masks: (B, G, H/mask_stride, W/mask_stride)."""
+        from ..losses.focal_loss import sigmoid_focal_loss
+        b, hs, ws, c = segm_pred.shape
+        m = gt_masks.astype(jnp.float32)
+        areas = m.sum(axis=(2, 3), keepdims=True)
+        areas = jnp.where((m > 0) & gt_valid[..., None, None],
+                          areas, jnp.inf)
+        min_area = areas.min(axis=1)                       # (B, h, w)
+        min_idx = areas.argmin(axis=1)
+        labels = jnp.take_along_axis(
+            gt_labels[..., None, None],
+            min_idx[:, None], axis=1)[:, 0]
+        labels = jnp.where(jnp.isinf(min_area), self.num_classes, labels)
+        # sample the target grid at the head's stride
+        step = self.in_stride // mask_stride
+        start = step // 2
+        labels = labels[:, start::step, start::step][:, :hs, :ws]
+        num_pos = jnp.maximum(
+            (labels != self.num_classes).sum().astype(jnp.float32), 1.0)
+        loss = sigmoid_focal_loss(segm_pred, labels, self.num_classes,
+                                  avg_factor=num_pos)
+        return dict(loss_segm=loss)
+
+
+@HEADS.register_module()
 class CondInstMaskBranch(nn.Module):
     """Fuses P3-P5 into a stride-8 mask feature map (reference:
     CondInstMaskBranch, condinst_head.py:972-1038)."""

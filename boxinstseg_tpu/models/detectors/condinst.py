@@ -44,6 +44,8 @@ class CondInst(nn.Module):
         self.backbone_m = BACKBONES.build(self.backbone)
         self.neck_m = NECKS.build(self.neck) if self.neck else None
         self.mask_head_m = HEADS.build(self.mask_head)
+        self.segm_head_m = HEADS.build(self.segm_head) \
+            if self.segm_head else None
         bbox_cfg = dict(self.bbox_head)
         bbox_cfg['num_gen_params'] = self.mask_head_m.num_gen_params
         self.bbox_head_m = HEADS.build(bbox_cfg)
@@ -77,6 +79,12 @@ class CondInst(nn.Module):
             outs, batch['gt_bboxes'], batch['gt_labels'], batch['gt_valid'])
 
         mask_feat = self.mask_branch_m(feats, train=True)
+
+        if self.segm_head_m is not None and 'gt_masks' in batch:
+            segm_pred = self.segm_head_m(feats[0], train=True)
+            losses.update(self.segm_head_m.loss(
+                segm_pred, batch['gt_masks'], batch['gt_labels'],
+                batch['gt_valid']))
 
         # --- fixed-capacity positive sampling (reference training_sample,
         # condinst_head.py:1166-1232)
