@@ -1,0 +1,177 @@
+"""Training-loop callbacks (reference: mmcv hook system + mmdet/core/hook).
+
+The reference registers ~10 hooks on the runner; here the training loop is
+explicit, and these callbacks cover the same capabilities. Each hook gets
+``after_step(i, state, logs)`` / ``after_epoch(epoch, state)`` calls.
+
+Reference-hook mapping:
+- TextLoggerHook / IterTimerHook  -> TextLoggerHook (timing + loss lines)
+- CheckLossHook (checkloss_hook)  -> CheckLossHook (NaN/Inf abort)
+- CheckpointHook                  -> CheckpointHook (orbax)
+- EvalHook (eval_hooks.py)        -> EvalHook
+- EMAHook (core/hook/ema.py)      -> EMAHook (generic parameter EMA; the
+  DiscoBox momentum teacher is engine-native in make_ts_train_step)
+- NumClassCheckHook               -> num_class_check() (dataset vs head)
+- SyncNormHook / SyncRandomSizeHook: unnecessary under pjit — BN stats
+  and shapes are global by construction (documented no-ops).
+- MemoryProfilerHook              -> MemoryProfilerHook (device stats)
+- MMDetWandbHook                  -> WandbLoggerHook (no-ops without wandb)
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+class Hook:
+    def after_step(self, i: int, state, logs: Dict) -> None:
+        pass
+
+    def after_epoch(self, epoch: int, state) -> None:
+        pass
+
+
+class TextLoggerHook(Hook):
+    def __init__(self, interval: int = 50, logger=None,
+                 global_batch: int = 1, max_iters: int = 0):
+        from ..utils.logging import get_root_logger
+        self.interval = interval
+        self.logger = logger or get_root_logger()
+        self.global_batch = global_batch
+        self.max_iters = max_iters
+        self._t = time.perf_counter()
+
+    def after_step(self, i, state, logs):
+        if (i + 1) % self.interval:
+            return
+        vals = {k: float(v) for k, v in logs.items()
+                if np.ndim(v) == 0}
+        dt = (time.perf_counter() - self._t) / self.interval
+        self._t = time.perf_counter()
+        msg = ', '.join(f'{k}: {v:.4f}' for k, v in sorted(vals.items()))
+        self.logger.info(
+            f'Iter [{i + 1}/{self.max_iters}] time: {dt:.3f}s/iter '
+            f'({self.global_batch / max(dt, 1e-9):.1f} img/s) {msg}')
+
+
+class CheckLossHook(Hook):
+    """Abort on non-finite loss (reference: CheckLossHook)."""
+
+    def __init__(self, interval: int = 50):
+        self.interval = interval
+
+    def after_step(self, i, state, logs):
+        if (i + 1) % self.interval:
+            return
+        total = float(logs.get('loss', 0.0))
+        if not np.isfinite(total):
+            raise FloatingPointError(
+                f'non-finite loss at iter {i + 1}: '
+                f'{ {k: float(v) for k, v in logs.items() if np.ndim(v) == 0} }')
+
+
+class CheckpointHook(Hook):
+    def __init__(self, ckpt_dir: str, interval_iters: int,
+                 max_keep_ckpts: int = 3):
+        self.ckpt_dir = ckpt_dir
+        self.interval = interval_iters
+        self.max_keep = max_keep_ckpts
+
+    def after_step(self, i, state, logs):
+        if (i + 1) % self.interval:
+            return
+        import jax
+        from .checkpoints import save_checkpoint
+        save_checkpoint(self.ckpt_dir, jax.device_get(state), i + 1,
+                        max_to_keep=self.max_keep)
+
+
+class EvalHook(Hook):
+    def __init__(self, model, dataset, cfg, interval_iters: int,
+                 metrics=('bbox', 'segm'), logger=None):
+        from ..utils.logging import get_root_logger
+        self.model = model
+        self.dataset = dataset
+        self.cfg = cfg
+        self.interval = interval_iters
+        self.metrics = metrics
+        self.logger = logger or get_root_logger()
+
+    def after_step(self, i, state, logs):
+        if (i + 1) % self.interval:
+            return
+        from ..apis.test import run_evaluation
+        m = run_evaluation(self.model, state.variables(), self.dataset,
+                           self.cfg, metrics=self.metrics)
+        self.logger.info(f'eval @ iter {i + 1}: {m}')
+
+
+class EMAHook(Hook):
+    """Generic parameter EMA kept host-side (reference: core/hook/ema.py).
+    For the DiscoBox teacher use make_ts_train_step (EMA inside jit)."""
+
+    def __init__(self, momentum: float = 0.999, interval: int = 1):
+        self.momentum = momentum
+        self.interval = interval
+        self.ema_params = None
+
+    def after_step(self, i, state, logs):
+        if (i + 1) % self.interval:
+            return
+        import jax
+        if self.ema_params is None:
+            self.ema_params = jax.tree_util.tree_map(
+                lambda x: x, state.params)
+        else:
+            m = self.momentum
+            self.ema_params = jax.tree_util.tree_map(
+                lambda e, p: m * e + (1 - m) * p, self.ema_params,
+                state.params)
+
+
+class MemoryProfilerHook(Hook):
+    def __init__(self, interval: int = 500, logger=None):
+        from ..utils.logging import get_root_logger
+        self.interval = interval
+        self.logger = logger or get_root_logger()
+
+    def after_step(self, i, state, logs):
+        if (i + 1) % self.interval:
+            return
+        from ..utils.profiling import device_memory_stats
+        for dev, stats in device_memory_stats().items():
+            if stats:
+                used = stats.get('bytes_in_use', 0) / 2 ** 30
+                self.logger.info(f'{dev}: {used:.2f} GiB in use')
+
+
+class WandbLoggerHook(Hook):
+    """Logs scalars to wandb when available (reference:
+    MMDetWandbHook, 586 LoC); silently no-ops otherwise."""
+
+    def __init__(self, interval: int = 50, init_kwargs: Optional[dict] = None):
+        self.interval = interval
+        try:
+            import wandb
+            self.wandb = wandb
+            wandb.init(**(init_kwargs or {}))
+        except Exception:
+            self.wandb = None
+
+    def after_step(self, i, state, logs):
+        if self.wandb is None or (i + 1) % self.interval:
+            return
+        self.wandb.log({k: float(v) for k, v in logs.items()
+                        if np.ndim(v) == 0}, step=i + 1)
+
+
+def num_class_check(dataset, model_num_classes: int) -> None:
+    """reference: NumClassCheckHook — dataset CLASSES must match the
+    head's num_classes."""
+    n = len(dataset.CLASSES)
+    if n != model_num_classes:
+        raise ValueError(
+            f'dataset has {n} classes but the head predicts '
+            f'{model_num_classes}')
