@@ -62,8 +62,11 @@ def _pairwise_block_kernel(logits_ref, sim_ref, mask_ref, num_ref, den_ref,
         wgt = base_w * gate[None]
         num = num + jnp.sum(-log_same * wgt)
         den = den + jnp.sum(wgt)
-    num_ref[0, 0] = num
-    den_ref[0, 0] = den
+    from jax.experimental import pallas as pl
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    num_ref[i, j] = num
+    den_ref[i, j] = den
 
 
 def pairwise_loss_forward_pallas(mask_logits: jnp.ndarray,
@@ -73,7 +76,7 @@ def pairwise_loss_forward_pallas(mask_logits: jnp.ndarray,
                                  color_thresh: float = 0.3,
                                  kernel_size: int = 3,
                                  dilation: int = 2,
-                                 k_tile: int = 8,
+                                 k_tile: int = 4,
                                  interpret: bool = False
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused partial-sum forward. Shapes as in ``boxinst_pairwise_loss``:
@@ -90,10 +93,9 @@ def pairwise_loss_forward_pallas(mask_logits: jnp.ndarray,
     grid = (b, k // k_tile)
     kernel = functools.partial(_pairwise_block_kernel, offsets=offsets,
                                thresh=color_thresh)
-    # scalar per-block partials live in SMEM (TPU lowering requires the
-    # last two block dims be tile-aligned for VMEM outputs)
-    scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (i, j),
-                               memory_space=pltpu.SMEM)
+    # scalar per-block partials: whole (grid) arrays in SMEM, each grid
+    # step writes its own (i, j) cell (tiny, disjoint writes)
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     num, den = pl.pallas_call(
         kernel,
         grid=grid,
