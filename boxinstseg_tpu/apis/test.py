@@ -61,7 +61,8 @@ def postprocess_masks(mask_scores: np.ndarray, img_shape, ori_shape,
 
 def run_evaluation(model, variables, dataset, cfg,
                    metrics=('bbox', 'segm'), max_images: Optional[int] = None,
-                   batch_size: Optional[int] = None) -> Dict[str, float]:
+                   batch_size: Optional[int] = None,
+                   save_results: Optional[str] = None) -> Dict[str, float]:
     import jax
     import jax.numpy as jnp
 
@@ -121,6 +122,12 @@ def run_evaluation(model, variables, dataset, cfg,
             logger.info(f'eval: {n_done}/{len(dataset)}')
         if max_images is not None and n_done >= max_images:
             break
+    if save_results:
+        import json
+        with open(save_results, 'w') as f:
+            json.dump([dict(bboxes=r['bboxes'].tolist(),
+                            labels=r['labels'].tolist(),
+                            masks=r['masks']) for r in results], f)
     if max_images is not None:
         # trim dataset img ids for partial eval
         from ..core.eval.coco_eval import evaluate_coco

@@ -18,6 +18,7 @@ def parse_args():
     p.add_argument('--eval', nargs='+', default=['bbox', 'segm'])
     p.add_argument('--max-images', type=int, default=None)
     p.add_argument('--out', help='save metrics json here')
+    p.add_argument('--save-results', help='save raw per-image results json')
     p.add_argument('--cfg-options', nargs='+', default=[])
     p.add_argument('--launcher', default='none')
     return p.parse_args()
@@ -43,7 +44,8 @@ def main():
     dataset = build_dataset({**cfg.data['test'], 'test_mode': True})
     metrics = run_evaluation(model, variables, dataset, cfg,
                              metrics=args.eval,
-                             max_images=args.max_images)
+                             max_images=args.max_images,
+                             save_results=args.save_results)
     logger.info(f'metrics: {metrics}')
     print(json.dumps(metrics, indent=2))
     if args.out:
