@@ -36,9 +36,11 @@ def train_detector(model, dataset, cfg: Config,
     import jax
     import jax.numpy as jnp
 
+    work_dir = cfg.get('work_dir')
+    if work_dir:
+        os.makedirs(work_dir, exist_ok=True)
     logger = get_root_logger(
-        log_file=os.path.join(cfg.get('work_dir', '.'), 'train.log')
-        if cfg.get('work_dir') else None)
+        log_file=os.path.join(work_dir, 'train.log') if work_dir else None)
 
     data_cfg = cfg.get('data', {})
     samples_per_gpu = data_cfg.get('samples_per_gpu', 2)

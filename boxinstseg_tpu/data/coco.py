@@ -213,3 +213,85 @@ class ConcatDataset:
     def prepare(self, idx, rng=None):
         di, li = self._locate(idx)
         return self.datasets[di].prepare(li, rng)
+
+
+@DATASETS.register_module()
+class ClassBalancedDataset:
+    """Repeat-factor sampling (reference: dataset_wrappers.py
+    ClassBalancedDataset): images containing rare categories are repeated
+    with factor max(1, sqrt(t / f_c)) over their rarest category."""
+
+    def __init__(self, dataset, oversample_thr: float, filter_empty_gt=True,
+                 **kwargs):
+        from ..registry import DATASETS as _D
+        self.dataset = _D.build(dataset) if isinstance(dataset, dict) \
+            else dataset
+        self.oversample_thr = oversample_thr
+        self.CLASSES = self.dataset.CLASSES
+
+        # category frequencies over images
+        n = len(self.dataset)
+        cat_freq = {}
+        img_cats = []
+        for i in range(n):
+            labels = set(self.dataset.get_ann_info(i)['labels'].tolist())
+            img_cats.append(labels)
+            for c in labels:
+                cat_freq[c] = cat_freq.get(c, 0) + 1
+        for c in cat_freq:
+            cat_freq[c] /= n
+        repeat = {c: max(1.0, np.sqrt(self.oversample_thr / f))
+                  for c, f in cat_freq.items()}
+        self.indices = []
+        for i in range(n):
+            r = max([repeat[c] for c in img_cats[i]], default=1.0)
+            self.indices.extend([i] * int(np.ceil(r)))
+        self.flag = self.dataset.flag[self.indices]
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        return self.dataset[self.indices[idx]]
+
+    def prepare(self, idx, rng=None):
+        return self.dataset.prepare(self.indices[idx], rng)
+
+    def evaluate(self, *a, **k):
+        return self.dataset.evaluate(*a, **k)
+
+
+@DATASETS.register_module()
+class MultiImageMixDataset:
+    """Wrapper for mix transforms (reference: dataset_wrappers.py
+    MultiImageMixDataset). The shipped box-supervised configs do not use
+    mosaic/mixup; this wrapper applies its pipeline per sample and exposes
+    get_indexes-style mixing hooks for custom transforms."""
+
+    def __init__(self, dataset, pipeline, **kwargs):
+        from ..registry import DATASETS as _D, PIPELINES
+        from .pipelines import Compose
+        self.dataset = _D.build(dataset) if isinstance(dataset, dict) \
+            else dataset
+        self.pipeline = Compose(pipeline)
+        self.CLASSES = self.dataset.CLASSES
+        self.flag = self.dataset.flag
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def prepare(self, idx, rng=None):
+        results = self.dataset.prepare(idx, rng)
+        if results is None:
+            return None
+        results['dataset'] = self.dataset
+        out = self.pipeline(results)
+        if out is not None:
+            out.pop('dataset', None)
+        return out
+
+    def __getitem__(self, idx):
+        return self.prepare(idx)
+
+    def evaluate(self, *a, **k):
+        return self.dataset.evaluate(*a, **k)
