@@ -39,6 +39,7 @@ class CondInst(nn.Module):
     init_cfg: Optional[dict] = None
     img_norm_mean: Sequence[float] = DEFAULT_MEAN
     img_norm_std: Sequence[float] = DEFAULT_STD
+    remat_mask_head: bool = False
 
     def setup(self):
         self.backbone_m = BACKBONES.build(self.backbone)
@@ -104,8 +105,13 @@ class CondInst(nn.Module):
         boxes = jnp.take_along_axis(batch['gt_bboxes'],
                                     sample_gt[..., None], axis=1)
 
-        mask_logits = self.mask_head_m.decode(mask_feat, params, coors,
-                                              levels)
+        decode = self.mask_head_m.decode
+        if self.remat_mask_head:
+            # rematerialize the (B, K, Hm, Wm, C) dynamic-conv
+            # intermediates in the backward pass — trades ~2 GB of HBM
+            # for a cheap recompute, enabling larger per-chip batches
+            decode = jax.checkpoint(decode)
+        mask_logits = decode(mask_feat, params, coors, levels)
         if self.mask_head_m.boxinst_enabled:
             sim, _ = self.mask_head_m.color_similarity_targets(
                 batch['image'], self.img_norm_mean, self.img_norm_std,
