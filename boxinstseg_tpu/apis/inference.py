@@ -10,7 +10,7 @@ from ..config import Config
 from ..data.batcher import StaticBatcher
 from ..data.pipelines import Compose
 from ..registry import build_detector
-from .test import postprocess_masks
+from .test import format_detection
 
 
 def init_detector(config: Union[str, Config],
@@ -42,9 +42,17 @@ def init_detector(config: Union[str, Config],
             from .train import _merge_pretrained
             variables = _merge_pretrained(variables, (params, stats))
         else:
+            import os
+            if not os.path.isdir(checkpoint):
+                raise FileNotFoundError(
+                    f'checkpoint not found: {checkpoint}')
             restored = restore_checkpoint(checkpoint, None)
             if restored is not None and 'params' in restored:
-                variables = restored
+                # orbax stores the full TrainState pytree; keep only the
+                # apply collections (params + batch_stats)
+                variables = {'params': restored['params']}
+                if restored.get('batch_stats'):
+                    variables['batch_stats'] = restored['batch_stats']
     return model, variables, cfg
 
 
@@ -77,10 +85,7 @@ def inference_detector(model, variables, cfg, img: Union[str, np.ndarray]):
     out = jax.device_get(jax.jit(
         lambda v, b: model.apply(v, b, method=model.predict))(variables, jb))
 
-    valid = out['valid'][0]
-    boxes = np.concatenate([out['bboxes'][0], out['scores'][0][:, None]],
-                           -1)[valid]
-    labels = out['labels'][0][valid]
-    masks = postprocess_masks(out['masks'][0][valid],
-                              batch['img_shape'][0], batch['ori_shape'][0])
-    return dict(bboxes=boxes, labels=labels, masks=masks)
+    test_cfg = (cfg.model.get('test_cfg', {}) or {}) \
+        if hasattr(cfg, 'model') else {}
+    return format_detection(out, 0, batch['img_shape'][0],
+                            batch['ori_shape'][0], test_cfg)

@@ -59,6 +59,38 @@ def postprocess_masks(mask_scores: np.ndarray, img_shape, ori_shape,
     return out
 
 
+def format_detection(out: Dict, i: int, img_shape, ori_shape,
+                     test_cfg: Optional[Dict] = None) -> Dict:
+    """Format one image's device ``predict`` output into host results.
+
+    Handles both output families: FCOS-style (CondInst: has 'bboxes') and
+    SOLO/Box2Mask-style (masks only — boxes recovered from mask extents,
+    reference format_results, single_stage_boxseg.py:75-90).
+    Returns dict(bboxes (n,5) incl. score, labels (n,), masks list of
+    (oh, ow) uint8).
+    """
+    valid = out['valid'][i]
+    labels = out['labels'][i][valid]
+    masks_s = out['masks'][i][valid]
+    scores = out['scores'][i][valid]
+    is_solo = 'bboxes' not in out
+    thresh = float((test_cfg or {}).get('mask_thr', 0.5)) if is_solo else 0.5
+    masks = postprocess_masks(masks_s, img_shape, ori_shape, thresh=thresh,
+                              aligned=not is_solo)
+    if not is_solo:
+        boxes = np.concatenate([out['bboxes'][i][valid], scores[:, None]], -1)
+    else:
+        boxes = np.zeros((len(masks), 5), np.float64)
+        for d, m in enumerate(masks):
+            ys, xs = np.nonzero(m)
+            if len(ys):
+                boxes[d, :4] = [xs.min(), ys.min(), xs.max() + 1,
+                                ys.max() + 1]
+            boxes[d, 4] = scores[d]
+    return dict(bboxes=boxes.astype(np.float64),
+                labels=labels.astype(np.int64), masks=masks)
+
+
 def run_evaluation(model, variables, dataset, cfg,
                    metrics=('bbox', 'segm'), max_images: Optional[int] = None,
                    batch_size: Optional[int] = None,
@@ -88,35 +120,14 @@ def run_evaluation(model, variables, dataset, cfg,
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if k in ('image', 'img_shape', 'scale_factor')}
         out = jax.device_get(predict(variables, jb))
+        test_cfg = (cfg.model.get('test_cfg', {}) or {}) \
+            if hasattr(cfg, 'model') else {}
         for i in range(real):
-            valid = out['valid'][i]
-            labels = out['labels'][i][valid]
-            masks_s = out['masks'][i][valid]
-            is_solo = 'bboxes' not in out
-            test_cfg = (cfg.model.get('test_cfg', {}) or {}) \
-                if hasattr(cfg, 'model') else {}
-            thresh = float(test_cfg.get('mask_thr', 0.5)) if is_solo else 0.5
-            masks = postprocess_masks(
-                masks_s, metas[i]['img_shape'][:2],
-                metas[i]['ori_shape'][:2], thresh=thresh,
-                aligned=not is_solo)
-            if 'bboxes' in out:
-                boxes = np.concatenate(
-                    [out['bboxes'][i], out['scores'][i][:, None]],
-                    -1)[valid]
-            else:
-                # SOLO-style results: boxes from mask extents (reference
-                # format_results, single_stage_boxseg.py:75-90)
-                boxes = np.zeros((len(masks), 5), np.float64)
-                for d, m in enumerate(masks):
-                    ys, xs = np.nonzero(m)
-                    if len(ys):
-                        boxes[d] = [xs.min(), ys.min(), xs.max() + 1,
-                                    ys.max() + 1, out['scores'][i][valid][d]]
+            det = format_detection(out, i, metas[i]['img_shape'][:2],
+                                   metas[i]['ori_shape'][:2], test_cfg)
             results.append(dict(
-                bboxes=boxes.astype(np.float64),
-                labels=labels.astype(np.int64),
-                masks=[rle_encode(m) for m in masks]))
+                bboxes=det['bboxes'], labels=det['labels'],
+                masks=[rle_encode(m) for m in det['masks']]))
         n_done += real
         if n_done % (20 * b) < b:
             logger.info(f'eval: {n_done}/{len(dataset)}')

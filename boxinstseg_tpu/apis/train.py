@@ -8,18 +8,14 @@ function.
 from __future__ import annotations
 
 import os
-import time
 from typing import Any, Dict, Optional
-
-import numpy as np
 
 from ..config import Config
 from ..data.batcher import StaticBatcher
 from ..data.loader import TrainLoader
 from ..engine import (build_lr_schedule, build_optimizer, create_train_state,
                       init_variables, latest_step, make_train_step,
-                      make_ts_train_step, restore_checkpoint,
-                      save_checkpoint)
+                      make_ts_train_step, restore_checkpoint)
 from ..parallel import get_data_mesh, shard_batch
 from ..utils.logging import get_root_logger
 
@@ -27,6 +23,55 @@ from ..utils.logging import get_root_logger
 def default_canvases(cfg) -> list:
     """Canvas set for the config's train pipeline (orientation buckets)."""
     return [(800, 1344), (1344, 800)]
+
+
+def resolve_intervals(cfg: Config, iters_per_epoch: int) -> Dict[str, Any]:
+    """Resolve mmcv ``by_epoch`` semantics into absolute iteration counts.
+
+    Reference semantics (mmcv LrUpdaterHook / CheckpointHook, mmdet
+    apis/train.py:226-227):
+    - ``lr_config.by_epoch`` (default True): step epochs -> iters.
+    - ``checkpoint_config.by_epoch`` (default True): interval in epochs
+      unless set False (Box2Mask: interval=5000 iters, by_epoch=False).
+    - ``evaluation.by_epoch`` is derived from the runner type
+      (IterBasedRunner -> False), NOT from the evaluation dict.
+    """
+    runner_cfg = cfg.get('runner', {'type': 'EpochBasedRunner',
+                                    'max_epochs': 12})
+    by_epoch_runner = runner_cfg.get('type') != 'IterBasedRunner'
+    if by_epoch_runner:
+        max_iters = runner_cfg.get('max_epochs', 12) * iters_per_epoch
+    else:
+        max_iters = runner_cfg['max_iters']
+
+    lr_cfg = dict(cfg.get('lr_config') or {})
+    lr_by_epoch = lr_cfg.get('by_epoch', True)
+
+    ckpt_cfg = dict(cfg.get('checkpoint_config') or {})
+    ckpt_iters = ckpt_cfg.get('interval', 1) * (
+        iters_per_epoch if ckpt_cfg.get('by_epoch', True) else 1)
+
+    eval_cfg = dict(cfg.get('evaluation') or {})
+    eval_iters = eval_cfg.get('interval', 1) * (
+        iters_per_epoch if by_epoch_runner else 1)
+    dynamic = eval_cfg.get('dynamic_intervals')
+
+    return dict(max_iters=max_iters, lr_by_epoch=lr_by_epoch,
+                ckpt_interval_iters=int(ckpt_iters),
+                ckpt_max_keep=ckpt_cfg.get('max_keep_ckpts', 3),
+                ckpt_save_last=ckpt_cfg.get('save_last', True),
+                eval_interval_iters=int(eval_iters),
+                eval_dynamic_intervals=dynamic,
+                eval_metrics=eval_cfg.get('metric', ('bbox', 'segm')))
+
+
+def _model_num_classes(model_cfg: dict):
+    """First num_classes/num_things_classes found in the model cfg tree."""
+    for key in ('num_classes', 'num_things_classes'):
+        for sub in model_cfg.values():
+            if isinstance(sub, dict) and key in sub:
+                return sub[key]
+    return None
 
 
 def train_detector(model, dataset, cfg: Config,
@@ -63,20 +108,22 @@ def train_detector(model, dataset, cfg: Config,
                          * max(n_dev, 4),
                          seed=cfg.get('seed', 0))
 
-    runner_cfg = cfg.get('runner', {'type': 'EpochBasedRunner',
-                                    'max_epochs': 12})
     iters_per_epoch = max(len(dataset) // global_batch, 1)
-    if runner_cfg.get('type') == 'IterBasedRunner':
-        max_iters = runner_cfg['max_iters']
-    else:
-        max_iters = runner_cfg.get('max_epochs', 12) * iters_per_epoch
+    iv = resolve_intervals(cfg, iters_per_epoch)
+    max_iters = iv['max_iters']
 
     base_lr = cfg.optimizer['lr']
     if cfg.get('auto_scale_lr', {}).get('enable', False):
         base = cfg['auto_scale_lr'].get('base_batch_size', 16)
         base_lr = base_lr * global_batch / base
     sched = build_lr_schedule(cfg.get('lr_config', {}), base_lr,
-                              iters_per_epoch, max_iters=max_iters)
+                              iters_per_epoch, by_epoch=iv['lr_by_epoch'],
+                              max_iters=max_iters)
+
+    num_classes = _model_num_classes(cfg.model)
+    if num_classes is not None and hasattr(dataset, 'CLASSES'):
+        from ..engine.hooks import num_class_check
+        num_class_check(dataset, num_classes)
 
     # init / resume ----------------------------------------------------------
     first = next(iter(loader))
@@ -116,39 +163,56 @@ def train_detector(model, dataset, cfg: Config,
     repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     state = jax.device_put(state, repl)
 
-    log_interval = cfg.get('log_config', {}).get('interval', 50)
-    ckpt_interval_epochs = cfg.get('checkpoint_config', {}).get('interval', 1)
+    hooks = build_hooks(model, cfg, iv, ckpt_dir, logger=logger,
+                        global_batch=global_batch, lr_fn=sched,
+                        validate=validate, val_dataset=val_dataset)
+
     start = int(state.step)
-    t_last = time.perf_counter()
     it = iter(loader)
     for i in range(start, max_iters):
         batch = shard_batch(next(it), mesh)
         state, logs = step_fn(state, batch)
-        if (i + 1) % log_interval == 0:
-            logs = {k: float(v) for k, v in logs.items()}
-            dt = (time.perf_counter() - t_last) / log_interval
-            t_last = time.perf_counter()
-            lr_now = float(sched(i))
-            msg = ', '.join(f'{k}: {v:.4f}' for k, v in sorted(logs.items()))
-            logger.info(
-                f'Iter [{i + 1}/{max_iters}] lr: {lr_now:.2e} '
-                f'time: {dt:.3f}s/iter ({global_batch / dt:.1f} img/s) '
-                f'{msg}')
-            if not np.isfinite(logs['loss']):
-                raise FloatingPointError(
-                    f'non-finite loss at iter {i + 1}: {logs}')
-        if (i + 1) % (ckpt_interval_epochs * iters_per_epoch) == 0 \
-                or (i + 1) == max_iters:
-            save_checkpoint(ckpt_dir, jax.device_get(state), i + 1,
-                            max_to_keep=cfg.get('checkpoint_config', {})
-                            .get('max_keep_ckpts', 3))
-            logger.info(f'checkpoint saved at iter {i + 1}')
-            if validate and val_dataset is not None:
-                from .test import run_evaluation
-                metrics = run_evaluation(model, state.variables(),
-                                         val_dataset, cfg)
-                logger.info(f'eval @ iter {i + 1}: {metrics}')
+        for h in hooks:
+            h.after_step(i, state, logs)
     return state
+
+
+def build_hooks(model, cfg: Config, iv: Dict[str, Any], ckpt_dir: str,
+                logger=None, global_batch: int = 1, lr_fn=None,
+                validate: bool = False, val_dataset=None) -> list:
+    """Assemble the hook list from the config, mirroring the reference
+    runner's hook registration (mmdet/apis/train.py:164-231): logger hooks
+    from log_config, checkpoint, eval, then custom_hooks."""
+    from ..engine.hooks import (CheckLossHook, CheckpointHook, EMAHook,
+                                EvalHook, MemoryProfilerHook, TextLoggerHook,
+                                WandbLoggerHook)
+    log_cfg = dict(cfg.get('log_config') or {})
+    log_interval = log_cfg.get('interval', 50)
+    hooks = [TextLoggerHook(log_interval, logger, global_batch,
+                            iv['max_iters'], lr_fn=lr_fn),
+             CheckLossHook(log_interval)]
+    for h in log_cfg.get('hooks', []):
+        if h.get('type') in ('MMDetWandbHook', 'WandbLoggerHook'):
+            hooks.append(WandbLoggerHook(h.get('interval', log_interval),
+                                         h.get('init_kwargs')))
+    hooks.append(CheckpointHook(ckpt_dir, iv['ckpt_interval_iters'],
+                                iv['ckpt_max_keep'], iv['ckpt_save_last'],
+                                iv['max_iters'], logger))
+    if validate and val_dataset is not None:
+        hooks.append(EvalHook(model, val_dataset, cfg,
+                              iv['eval_interval_iters'], iv['eval_metrics'],
+                              logger, iv['eval_dynamic_intervals']))
+    for h in cfg.get('custom_hooks', []) or []:
+        t = h.get('type')
+        if t == 'MemoryProfilerHook':
+            hooks.append(MemoryProfilerHook(h.get('interval', 500), logger))
+        elif t == 'EMAHook':
+            hooks.append(EMAHook(h.get('momentum', 0.999),
+                                 h.get('interval', 1)))
+        # NumClassCheckHook handled up-front in train_detector;
+        # SyncNormHook/SyncRandomSizeHook are no-ops under pjit (global
+        # BN stats / static shapes by construction).
+    return hooks
 
 
 def _paramwise_lr_fn(optimizer_cfg):

@@ -2,11 +2,12 @@
 
 Reference: MaskHungarianAssigner (mask_hungarian_assigner.py:113-123) —
 cost = ClassificationCost + BoxMatchingCost (projection dice,
-match_cost.py:365-425), solved per image with scipy on the host. Here the
-batched cost matrix is computed on device (padded GT slots get +inf cost)
-and the assignment itself — a discrete O(n^3) routine with data-dependent
-control flow — runs through one pure_callback to scipy's
-linear_sum_assignment, returning a fixed-shape (G,) query index per GT.
+match_cost.py:365-425), solved per image with scipy on the host (one
+device->host sync per decoder layer per step). Here the batched cost matrix
+AND the assignment run on device: cost as one einsum, the assignment via
+the exact Jonker-Volgenant solver in ``ops/lsa.py`` vmapped over
+batch x decoder layers — zero host callbacks in the train graph (the axon
+TPU runtime does not support host callbacks at all).
 """
 from __future__ import annotations
 
@@ -14,7 +15,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from ...ops.lsa import solve_lsa
 
 BIG_COST = 1e8
 
@@ -47,39 +49,20 @@ def box_matching_cost(mask_preds: jnp.ndarray, gt_box_masks: jnp.ndarray,
     return cx + cy
 
 
-def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
-    """Batched linear_sum_assignment. cost: (B, Q, G); n_valid: (B,).
-    Returns (B, G) assigned query per GT (-1 for padded slots)."""
-    from scipy.optimize import linear_sum_assignment
-    b, q, g = cost.shape
-    out = -np.ones((b, g), np.int32)
-    for i in range(b):
-        n = int(n_valid[i])
-        if n == 0:
-            continue
-        rows, cols = linear_sum_assignment(cost[i, :, :n])
-        out[i, cols] = rows.astype(np.int32)
-    return out
-
-
 def hungarian_match(cost: jnp.ndarray, gt_valid: jnp.ndarray
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """cost: (B, Q, G) with arbitrary values in padded columns;
     gt_valid: (B, G). Returns (assigned_query (B, G) int32 zeros-filled,
-    valid (B, G))."""
-    cost = jax.lax.stop_gradient(
-        jnp.where(gt_valid[:, None, :], cost, BIG_COST))
-    n_valid = gt_valid.sum(axis=1).astype(jnp.int32)
+    valid (B, G)).
+
+    Padded GT rows are given a constant cost so they are indifferent across
+    queries: the optimum restricted to valid rows equals the optimum of the
+    valid-only problem (they only soak up leftover queries).
+    """
     b, q, g = cost.shape
-    # padded GT columns must sort after valid ones for the host trim:
-    # reorder so valid slots are contiguous
-    order = jnp.argsort(~gt_valid, axis=1, stable=True)       # valid first
-    cost_sorted = jnp.take_along_axis(cost, order[:, None, :], axis=2)
-    assigned_sorted = jax.pure_callback(
-        _lsa_host, jax.ShapeDtypeStruct((b, g), jnp.int32),
-        cost_sorted, n_valid)
-    # scatter back to original GT slots
-    inv = jnp.argsort(order, axis=1)
-    assigned = jnp.take_along_axis(assigned_sorted, inv, axis=1)
-    valid = gt_valid & (assigned >= 0)
-    return jnp.where(valid, assigned, 0).astype(jnp.int32), valid
+    assert g <= q, (g, q)
+    # rows = GTs, cols = queries (rows all get assigned)
+    cost_t = jax.lax.stop_gradient(
+        jnp.where(gt_valid[:, :, None], jnp.swapaxes(cost, 1, 2), 0.0))
+    assigned = jax.vmap(solve_lsa)(cost_t)                   # (B, G)
+    return jnp.where(gt_valid, assigned, 0).astype(jnp.int32), gt_valid

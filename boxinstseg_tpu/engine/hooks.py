@@ -35,12 +35,13 @@ class Hook:
 
 class TextLoggerHook(Hook):
     def __init__(self, interval: int = 50, logger=None,
-                 global_batch: int = 1, max_iters: int = 0):
+                 global_batch: int = 1, max_iters: int = 0, lr_fn=None):
         from ..utils.logging import get_root_logger
         self.interval = interval
         self.logger = logger or get_root_logger()
         self.global_batch = global_batch
         self.max_iters = max_iters
+        self.lr_fn = lr_fn  # optional schedule(step) -> lr, logged lazily
         self._t = time.perf_counter()
 
     def after_step(self, i, state, logs):
@@ -50,9 +51,10 @@ class TextLoggerHook(Hook):
                 if np.ndim(v) == 0}
         dt = (time.perf_counter() - self._t) / self.interval
         self._t = time.perf_counter()
+        lr = f'lr: {float(self.lr_fn(i)):.2e} ' if self.lr_fn else ''
         msg = ', '.join(f'{k}: {v:.4f}' for k, v in sorted(vals.items()))
         self.logger.info(
-            f'Iter [{i + 1}/{self.max_iters}] time: {dt:.3f}s/iter '
+            f'Iter [{i + 1}/{self.max_iters}] {lr}time: {dt:.3f}s/iter '
             f'({self.global_batch / max(dt, 1e-9):.1f} img/s) {msg}')
 
 
@@ -73,38 +75,65 @@ class CheckLossHook(Hook):
 
 
 class CheckpointHook(Hook):
+    """Periodic orbax checkpoints; ``save_last`` also saves at max_iters
+    (reference: mmcv CheckpointHook ``by_epoch``/``save_last`` — the caller
+    converts the config interval to iterations honoring ``by_epoch``)."""
+
     def __init__(self, ckpt_dir: str, interval_iters: int,
-                 max_keep_ckpts: int = 3):
+                 max_keep_ckpts: int = 3, save_last: bool = True,
+                 max_iters: int = 0, logger=None):
+        from ..utils.logging import get_root_logger
         self.ckpt_dir = ckpt_dir
-        self.interval = interval_iters
+        self.interval = max(int(interval_iters), 1)
         self.max_keep = max_keep_ckpts
+        self.save_last = save_last
+        self.max_iters = max_iters
+        self.logger = logger or get_root_logger()
 
     def after_step(self, i, state, logs):
-        if (i + 1) % self.interval:
+        last = self.save_last and (i + 1) == self.max_iters
+        if (i + 1) % self.interval and not last:
             return
         import jax
         from .checkpoints import save_checkpoint
         save_checkpoint(self.ckpt_dir, jax.device_get(state), i + 1,
                         max_to_keep=self.max_keep)
+        self.logger.info(f'checkpoint saved at iter {i + 1}')
 
 
 class EvalHook(Hook):
+    """Periodic evaluation (reference: mmdet eval_hooks.py — ``by_epoch``
+    resolved by the caller, ``dynamic_intervals`` as [(start_iter,
+    new_interval), ...] switching the interval once training passes
+    start_iter, matching mmdet's dynamic-interval EvalHook)."""
+
     def __init__(self, model, dataset, cfg, interval_iters: int,
-                 metrics=('bbox', 'segm'), logger=None):
+                 metrics=('bbox', 'segm'), logger=None,
+                 dynamic_intervals=None):
         from ..utils.logging import get_root_logger
         self.model = model
         self.dataset = dataset
         self.cfg = cfg
-        self.interval = interval_iters
+        self.interval = max(int(interval_iters), 1)
         self.metrics = metrics
         self.logger = logger or get_root_logger()
+        self.dynamic = sorted(dynamic_intervals or [])
+        self.latest_metrics: Dict[str, Any] = {}
+
+    def _interval_at(self, i):
+        interval = self.interval
+        for start, new_interval in self.dynamic:
+            if i + 1 >= start:
+                interval = new_interval
+        return max(int(interval), 1)
 
     def after_step(self, i, state, logs):
-        if (i + 1) % self.interval:
+        if (i + 1) % self._interval_at(i):
             return
         from ..apis.test import run_evaluation
         m = run_evaluation(self.model, state.variables(), self.dataset,
                            self.cfg, metrics=self.metrics)
+        self.latest_metrics = m
         self.logger.info(f'eval @ iter {i + 1}: {m}')
 
 

@@ -24,7 +24,9 @@ def init_variables(model, rngs, *args, method=None):
     import functools
     fn = functools.partial(model.init, method=method) if method is not None \
         else model.init
-    return jax.jit(fn)(rngs, *args)
+    # bools stay static (e.g. a `train` flag branching in python)
+    static = tuple(i + 1 for i, a in enumerate(args) if isinstance(a, bool))
+    return jax.jit(fn, static_argnums=static)(rngs, *args)
 
 
 class TrainState(struct.PyTreeNode):

@@ -205,8 +205,8 @@ class Box2MaskHead(nn.Module):
         lst96 = interpolate_bilinear(outs['levelset_feat'], (th, tw))
         box96 = jax.lax.stop_gradient(interpolate_bilinear(
             k_maskf.transpose(0, 2, 3, 1), (th, tw)).transpose(0, 3, 1, 2))
-        parent_i, depth_i = grid_mst(img96)
-        parent_l, depth_l = grid_mst(lst96)
+        parent_i, depth_i = grid_mst(img96, self.tf_max_depth)
+        parent_l, depth_l = grid_mst(lst96, self.tf_max_depth)
 
         losses: Dict[str, jnp.ndarray] = {}
         layer_masks96: List[jnp.ndarray] = []

@@ -1,0 +1,167 @@
+"""On-device minimum spanning tree over the 4-connected pixel grid.
+
+The reference computes the MST on the CPU with a Boruvka union-find, one
+std::thread per image (reference: mmdet/ops/tree_filter/src/mst/
+boruvka.cpp:20-112, mst.cu:86-117), then BFS-orders it on the GPU
+(bfs.cu:19-98). The round-1 TPU port used a scipy host callback — but the
+axon TPU runtime does not support host callbacks, so the tree filter (and
+with it BoxLevelset / Box2Mask training) could not run on real hardware.
+
+This module is a fully on-device replacement:
+
+- ``boruvka_mst``: parallel Boruvka. Per round, every component picks its
+  lexicographically (weight, edge-index) minimal outgoing edge via
+  scatter-min, components merge through min-label hook + pointer-jumping
+  (converged per round, so the classic acyclicity argument applies), and
+  ceil(log2 N) rounds suffice. All ``lax`` control flow, fixed shapes.
+- ``root_tree``: level-synchronous BFS rooting at node 0 producing
+  (parent, depth) — one frontier expansion per scan step, bounded by the
+  same ``max_depth`` the downstream tree-filter scans use.
+
+Lexicographic tie-breaking makes the edge order total, so the tree is
+unique and deterministic; for distinct weights it equals scipy's MST
+(tested against scipy.sparse.csgraph in tests/test_tree_filter.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def grid_edges(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static (src, dst) int32 arrays for the 4-connected HxW grid:
+    first the (h, w-1) right edges, then the (h-1, w) down edges."""
+    idx = np.arange(h * w, dtype=np.int32).reshape(h, w)
+    src = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])
+    dst = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
+    return src, dst
+
+
+def boruvka_mst(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
+                n: int) -> jnp.ndarray:
+    """MST edge selection for one connected graph.
+
+    Args:
+      src, dst: (E,) int32 endpoints. weights: (E,) float32.
+      n: number of nodes (static).
+    Returns:
+      chosen: (E,) bool — True for the n-1 tree edges.
+    """
+    e = src.shape[0]
+    eidx = jnp.arange(e, dtype=jnp.int32)
+    nodes = jnp.arange(n, dtype=jnp.int32)
+    rounds = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    inf = jnp.float32(np.inf)
+
+    def round_fn(carry, _):
+        lbl, chosen = carry
+        cs, cd = lbl[src], lbl[dst]
+        live = cs != cd
+        wl = jnp.where(live, weights, inf)
+
+        # per-component minimal outgoing weight, then min edge index among
+        # weight-minimal edges (lexicographic (w, idx) selection)
+        best_w = jnp.full((n,), inf).at[cs].min(wl).at[cd].min(wl)
+        cand_s = jnp.where(live & (wl == best_w[cs]), eidx, e)
+        cand_d = jnp.where(live & (wl == best_w[cd]), eidx, e)
+        best_i = jnp.full((n,), e, jnp.int32).at[cs].min(cand_s) \
+                                             .at[cd].min(cand_d)
+        has = best_i < e
+        e_sel = jnp.minimum(best_i, e - 1)
+
+        mark = jnp.zeros((e,), jnp.int32).at[
+            jnp.where(has, best_i, 0)].max(has.astype(jnp.int32))
+        chosen = chosen | (mark > 0)
+
+        # hook each component to its partner's label (smaller label wins),
+        # then propagate the min label to convergence so next round's
+        # selection sees exact components
+        a, b = cs[e_sel], cd[e_sel]
+        partner = jnp.where(has, a + b - nodes, nodes)
+        ptr = jnp.minimum(nodes, partner)
+
+        def prop_cond(s):
+            return s[1]
+
+        def prop_body(s):
+            p, _ = s
+            p2 = jnp.minimum(p, p[p])                # path compression
+            p3 = jnp.minimum(p2, p2[partner])        # relax hook edges
+            return p3, jnp.any(p3 != p)
+
+        ptr, _ = jax.lax.while_loop(prop_cond, prop_body, (ptr, True))
+        return (ptr[lbl], chosen), None
+
+    lbl0 = nodes
+    chosen0 = jnp.zeros((e,), bool)
+    (_, chosen), _ = jax.lax.scan(round_fn, (lbl0, chosen0), None,
+                                  length=rounds)
+    return chosen
+
+
+def root_tree(src: jnp.ndarray, dst: jnp.ndarray, chosen: jnp.ndarray,
+              n: int, max_depth: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Root the chosen-edge tree at node 0 by level-synchronous BFS.
+
+    Returns (parent, depth), each (n,) int32; parent[0] = 0. Nodes deeper
+    than ``max_depth`` (beyond the downstream scan budget anyway) keep
+    parent = self, depth = 0 and act as isolated roots.
+    """
+    parent0 = jnp.arange(n, dtype=jnp.int32)
+    known0 = jnp.zeros((n,), bool).at[0].set(True)
+    depth0 = jnp.zeros((n,), jnp.int32)
+
+    def step(carry, d):
+        parent, known, depth = carry
+        ks, kd = known[src], known[dst]
+        exp_d = chosen & ks & ~kd        # dst joins, parent = src
+        exp_s = chosen & kd & ~ks        # src joins, parent = dst
+        tgt_d = jnp.where(exp_d, dst, n)
+        tgt_s = jnp.where(exp_s, src, n)
+        # a frontier node has exactly one tree edge into the known set,
+        # so these scatters never collide
+        parent = parent.at[tgt_d].set(src, mode='drop')
+        parent = parent.at[tgt_s].set(dst, mode='drop')
+        newly = jnp.zeros((n,), bool).at[tgt_d].set(True, mode='drop')
+        newly = newly.at[tgt_s].set(True, mode='drop')
+        newly = newly & ~known
+        depth = jnp.where(newly, d, depth)
+        return (parent, known | newly, depth), None
+
+    (parent, known, depth), _ = jax.lax.scan(
+        step, (parent0, known0, depth0),
+        jnp.arange(1, max_depth + 1, dtype=jnp.int32))
+    parent = jnp.where(known, parent, jnp.arange(n, dtype=jnp.int32))
+    parent = parent.at[0].set(0)
+    return parent, depth
+
+
+def grid_mst_device(w_right: jnp.ndarray, w_down: jnp.ndarray,
+                    max_depth: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched grid MST + rooting, fully on device.
+
+    Args:
+      w_right: (B, H, W-1) edge weights; w_down: (B, H-1, W).
+      max_depth: BFS/scan depth budget (static).
+    Returns:
+      (parent, depth): (B, H*W) int32 each.
+    """
+    b, h, wm1 = w_right.shape
+    w = wm1 + 1
+    n = h * w
+    src_np, dst_np = grid_edges(h, w)
+    src = jnp.asarray(src_np)
+    dst = jnp.asarray(dst_np)
+    weights = jnp.concatenate(
+        [w_right.reshape(b, -1), w_down.reshape(b, -1)], axis=1)
+
+    def per_image(wgt):
+        chosen = boruvka_mst(src, dst, wgt, n)
+        return root_tree(src, dst, chosen, n, max_depth)
+
+    return jax.vmap(per_image)(weights.astype(jnp.float32))

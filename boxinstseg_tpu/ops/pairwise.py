@@ -41,14 +41,12 @@ def compute_pairwise_term(mask_logits: jnp.ndarray, kernel_size: int = 3,
     log_fg, log_bg = _log_probs(mask_logits)
     terms = []
     for dy, dx in neighbor_offsets(kernel_size, dilation):
-        # zero-pad the *logits*' log-probs the way F.unfold zero-pads inputs:
-        # a padded logit of 0 has log_fg = log_bg = log(0.5).
+        # the reference unfolds the LOG-PROBS with zero padding
+        # (condinst_head.py:92-99): an out-of-image neighbor has
+        # log_fg = log_bg = 0, so log_same = logaddexp(log_fg, log_bg) = 0
+        # and the pairwise term vanishes at borders.
         nb_fg = shift2d(log_fg, dy, dx, h_axis=1)
         nb_bg = shift2d(log_bg, dy, dx, h_axis=1)
-        inb = shift2d(jnp.ones_like(log_fg), dy, dx, h_axis=1)
-        log_half = jnp.float32(jnp.log(0.5))
-        nb_fg = jnp.where(inb > 0, nb_fg, log_half)
-        nb_bg = jnp.where(inb > 0, nb_bg, log_half)
         log_same = jnp.logaddexp(log_fg + nb_fg, log_bg + nb_bg)
         terms.append(-log_same)
     return jnp.stack(terms, axis=1)
@@ -68,12 +66,9 @@ def pairwise_loss(mask_logits: jnp.ndarray, weights: jnp.ndarray,
     log_fg, log_bg = _log_probs(mask_logits)
     num = jnp.float32(0.0)
     for k, (dy, dx) in enumerate(neighbor_offsets(kernel_size, dilation)):
+        # zero-padded log-prob unfold (see compute_pairwise_term)
         nb_fg = shift2d(log_fg, dy, dx, h_axis=1)
         nb_bg = shift2d(log_bg, dy, dx, h_axis=1)
-        inb = shift2d(jnp.ones_like(log_fg), dy, dx, h_axis=1)
-        log_half = jnp.float32(jnp.log(0.5))
-        nb_fg = jnp.where(inb > 0, nb_fg, log_half)
-        nb_bg = jnp.where(inb > 0, nb_bg, log_half)
         log_same = jnp.logaddexp(log_fg + nb_fg, log_bg + nb_bg)
         num = num + jnp.sum(-log_same * weights[:, k])
     denom = jnp.maximum(jnp.sum(weights), 1.0)
@@ -104,13 +99,10 @@ def boxinst_pairwise_loss(mask_logits: jnp.ndarray,
     base_w = bitmasks * v                                 # (B, K, H, W)
     num = jnp.float32(0.0)
     den = jnp.float32(0.0)
-    log_half = jnp.float32(jnp.log(0.5))
     for k, (dy, dx) in enumerate(neighbor_offsets(kernel_size, dilation)):
+        # zero-padded log-prob unfold (see compute_pairwise_term)
         nb_fg = shift2d(log_fg, dy, dx, h_axis=2)
         nb_bg = shift2d(log_bg, dy, dx, h_axis=2)
-        inb = shift2d(jnp.ones_like(log_fg[:, :1]), dy, dx, h_axis=2)
-        nb_fg = jnp.where(inb > 0, nb_fg, log_half)
-        nb_bg = jnp.where(inb > 0, nb_bg, log_half)
         log_same = jnp.logaddexp(log_fg + nb_fg, log_bg + nb_bg)
         gate = (color_sim[:, k] >= color_thresh).astype(mask_logits.dtype)
         w = base_w * gate[:, None]                        # (B, K, H, W)

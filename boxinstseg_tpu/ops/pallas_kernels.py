@@ -28,8 +28,6 @@ import numpy as np
 from .color import neighbor_offsets
 from .pairwise import boxinst_pairwise_loss
 
-_LOG_HALF = float(np.log(0.5))
-
 
 def _pairwise_block_kernel(logits_ref, sim_ref, mask_ref, num_ref, den_ref,
                            *, offsets, thresh):
@@ -46,17 +44,18 @@ def _pairwise_block_kernel(logits_ref, sim_ref, mask_ref, num_ref, den_ref,
     num = jnp.float32(0.0)
     den = jnp.float32(0.0)
     for k, (dy, dx) in enumerate(offsets):
-        # shift-with-zero-pad inside VMEM; padded logits behave like
-        # log(0.5) (F.unfold zero-padding of raw logits)
-        def shift(a, fill):
+        # zero-padded LOG-PROB shift: an out-of-image neighbor has
+        # log_fg = log_bg = 0 so its term vanishes (reference pairwise.cu:
+        # `ls_py = is_y_pad ? 0 : _logsig(y)`, :43-44)
+        def shift(a):
             pad = [(0, 0), (max(-dy, 0), max(dy, 0)),
                    (max(-dx, 0), max(dx, 0))]
-            ap = jnp.pad(a, pad, constant_values=fill)
+            ap = jnp.pad(a, pad)
             return ap[:, max(dy, 0):max(dy, 0) + h,
                       max(dx, 0):max(dx, 0) + w]
 
-        nb_fg = shift(log_fg, _LOG_HALF)
-        nb_bg = shift(log_bg, _LOG_HALF)
+        nb_fg = shift(log_fg)
+        nb_bg = shift(log_bg)
         log_same = jnp.logaddexp(log_fg + nb_fg, log_bg + nb_bg)
         gate = (sim_ref[0, k] >= thresh).astype(x.dtype)  # (H, W)
         wgt = base_w * gate[None]

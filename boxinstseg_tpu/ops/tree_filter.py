@@ -5,10 +5,11 @@ mmdet/ops/tree_filter/src/{mst.cu — CPU Boruvka union-find, bfs.cu,
 refine.cu — dependency-ordered leaf<->root scans with analytic backward})
 with:
 
-- a host callback building the per-image minimum spanning tree over the
-  4-connected pixel grid (scipy csgraph MST + BFS rooting) — discrete
-  structure, computed under stop_gradient exactly like the reference's
-  ``with torch.no_grad()`` MST (tree_filter.py:57-62);
+- an on-device parallel Boruvka MST + BFS rooting (``ops/mst.py``) —
+  discrete structure, computed under stop_gradient exactly like the
+  reference's ``with torch.no_grad()`` MST (tree_filter.py:57-62). A scipy
+  host-callback variant is kept as a test oracle, but the default train
+  graph is callback-free (the axon TPU runtime rejects host callbacks);
 - differentiable level-synchronous scans on device (jax.lax.scan over BFS
   depth levels, scatter-add into parents / gather from parents), so JAX
   autodiff provides the backward that refine.cu hand-codes.
@@ -70,15 +71,21 @@ def _mst_batch_host(w_right: np.ndarray, w_down: np.ndarray
     return parents, depths
 
 
-def grid_mst(guide: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def grid_mst(guide: jnp.ndarray, max_depth: int = 512,
+             host: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """guide: (B, H, W, D) -> (parent, depth), each (B, H*W) int32.
 
-    Edge weights are ||diff||^2 + 1 over the 4-connected grid
-    (reference MinimumSpanningTree._build_feature_weight).
+    Edge weights are ||diff||^2 over the 4-connected grid
+    (reference MinimumSpanningTree._build_feature_weight). Default path is
+    the on-device Boruvka (``ops/mst.py``); ``host=True`` keeps the scipy
+    callback for CPU oracle tests.
     """
     g = jax.lax.stop_gradient(guide.astype(jnp.float32))
     w_right = jnp.sum((g[:, :, 1:] - g[:, :, :-1]) ** 2, axis=-1)
     w_down = jnp.sum((g[:, 1:] - g[:, :-1]) ** 2, axis=-1)
+    if not host:
+        from .mst import grid_mst_device
+        return grid_mst_device(w_right, w_down, max_depth)
     b, h, w, _ = guide.shape
     n = h * w
     shape = jax.ShapeDtypeStruct((b, n), jnp.int32)

@@ -17,7 +17,11 @@ def main():
     p.add_argument('--out', default='video_out.mp4')
     p.add_argument('--score-thr', type=float, default=0.3)
     p.add_argument('--max-frames', type=int, default=None)
+    p.add_argument('--device', default='auto', help="jax platform to pin ('cpu', 'tpu'); 'auto' keeps the default")
     args = p.parse_args()
+    if args.device != 'auto':
+        import jax
+        jax.config.update('jax_platforms', args.device)
 
     import cv2
     from boxinstseg_tpu.apis.inference import init_detector, \

@@ -1,0 +1,275 @@
+"""Golden-value parity tests: every core loss / assignment is checked against
+the REFERENCE's own torch math, extracted from /root/reference source at test
+time (see ref_oracle.py). These pin the exact numerics the model zoo was
+trained with — a sign flip or offset-order bug fails here even though losses
+would still be "finite and decreasing"."""
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import boxinstseg_tpu  # noqa: F401
+from ref_oracle import (load_ref, load_ref_method, ref_available, to_np,
+                        to_torch)
+
+pytestmark = pytest.mark.skipif(not ref_available(),
+                                reason='reference tree not mounted')
+
+CONDINST = 'mmdet/models/dense_heads/condinst_head.py'
+DISCOBOX = 'mmdet/models/dense_heads/discobox_head.py'
+LEVELSET = 'mmdet/models/losses/levelset_loss.py'
+BOXPROJ = 'mmdet/models/losses/box_projection_loss.py'
+MATRIXNMS = 'mmdet/core/post_processing/matrix_nms.py'
+
+
+# ---------------------------------------------------------------- BoxInst
+
+def test_golden_pairwise_term(rng):
+    from boxinstseg_tpu.ops.pairwise import compute_pairwise_term
+    ref = load_ref(CONDINST, ['compute_pairwise_term', 'unfold_wo_center'])
+    logits = rng.randn(3, 20, 24).astype(np.float32) * 3
+    want = to_np(ref['compute_pairwise_term'](
+        to_torch(logits)[:, None], 3, 2))
+    got = np.asarray(compute_pairwise_term(jnp.asarray(logits), 3, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_golden_pairwise_loss_weighted(rng):
+    """Full weighted reduction: sum(term * w) / clamp(sum(w), 1)
+    (reference condinst_head.py:1321-1333)."""
+    from boxinstseg_tpu.ops.pairwise import pairwise_loss
+    ref = load_ref(CONDINST, ['compute_pairwise_term', 'unfold_wo_center'])
+    logits = rng.randn(4, 16, 16).astype(np.float32) * 2
+    w = (rng.rand(4, 8, 16, 16) > 0.5).astype(np.float32)
+    term = to_np(ref['compute_pairwise_term'](to_torch(logits)[:, None],
+                                              3, 2))
+    want = (term * w).sum() / max(w.sum(), 1.0)
+    got = float(pairwise_loss(jnp.asarray(logits), jnp.asarray(w), 3, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_golden_project_term(rng):
+    from boxinstseg_tpu.models.losses.projection import compute_project_term
+    ref = load_ref(CONDINST, ['compute_project_term', 'dice_coefficient'])
+    scores = rng.rand(5, 24, 24).astype(np.float32)
+    bitmasks = np.zeros((5, 24, 24), np.float32)
+    for i in range(5):
+        x1, y1 = rng.randint(0, 10, 2)
+        bitmasks[i, y1:y1 + rng.randint(4, 12), x1:x1 + rng.randint(4, 12)] = 1
+    want = float(ref['compute_project_term'](to_torch(scores)[:, None],
+                                             to_torch(bitmasks)[:, None]))
+    got = float(compute_project_term(jnp.asarray(scores),
+                                     jnp.asarray(bitmasks)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_golden_box_projection_loss_module(rng):
+    from boxinstseg_tpu.models.losses.projection import BoxProjectionLoss
+    ref = load_ref(BOXPROJ, ['BoxProjectionLoss'])['BoxProjectionLoss'](
+        loss_weight=3.0)
+    scores = rng.rand(4, 1, 20, 20).astype(np.float32)
+    masks = (rng.rand(4, 1, 20, 20) > 0.6).astype(np.float32)
+    want = to_np(ref(to_torch(scores), to_torch(masks)))
+    got = np.asarray(BoxProjectionLoss(loss_weight=3.0)(
+        jnp.asarray(scores[:, 0]), jnp.asarray(masks[:, 0])))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_golden_aligned_bilinear(rng):
+    from boxinstseg_tpu.ops.upsample import aligned_bilinear
+    ref = load_ref(CONDINST, ['aligned_bilinear'])
+    x = rng.randn(2, 3, 9, 11).astype(np.float32)
+    for factor in (2, 4):
+        want = to_np(ref['aligned_bilinear'](to_torch(x), factor))
+        got = np.asarray(aligned_bilinear(
+            jnp.asarray(x.transpose(0, 2, 3, 1)), factor))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_golden_color_similarity(rng):
+    """exp(-||d Lab||*0.5) over dilated 3x3 neighbors, gated by the in-image
+    mask (reference get_image_color_similarity, condinst_head.py:227-246)."""
+    from boxinstseg_tpu.ops.color import image_color_similarity
+    ref = load_ref(CONDINST, ['get_image_color_similarity',
+                              'unfold_wo_center'])
+    lab = rng.randn(14, 18, 3).astype(np.float32) * 20
+    valid = np.zeros((14, 18), np.float32)
+    valid[:12, :15] = 1.0  # un-padded image region
+    want = to_np(ref['get_image_color_similarity'](
+        to_torch(lab.transpose(2, 0, 1))[None], to_torch(valid), 3, 2))[0]
+    got = np.asarray(image_color_similarity(
+        jnp.asarray(lab)[None], jnp.asarray(valid)[None], 3, 2))[0]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_golden_fcos_assignment(rng):
+    """Point-target assignment vs the reference's _get_target_single on a
+    crafted case with overlapping boxes (min-area tie-breaks), center
+    sampling, and multi-level regress ranges."""
+    from boxinstseg_tpu.core.targets.fcos import fcos_targets
+    single = load_ref_method(CONDINST, 'CondInstBoxHead',
+                             '_get_target_single')
+
+    strides_per_lvl = [8, 16]
+    regress_ranges_lvl = [(-1, 64), (64, 1e8)]
+    hw = [(8, 8), (4, 4)]
+    pts, strides, rranges = [], [], []
+    for (h, w), s, rr in zip(hw, strides_per_lvl, regress_ranges_lvl):
+        ys, xs = np.mgrid[:h, :w]
+        p = np.stack([xs.ravel() * s + s // 2, ys.ravel() * s + s // 2], -1)
+        pts.append(p)
+        strides += [s] * (h * w)
+        rranges += [rr] * (h * w)
+    points = np.concatenate(pts).astype(np.float32)
+    strides = np.asarray(strides, np.float32)
+    rranges = np.asarray(rranges, np.float32)
+
+    # overlapping + nested boxes to exercise min-area tie-breaking
+    gt = np.array([[4, 4, 60, 60], [20, 20, 44, 44], [10, 30, 62, 62],
+                   [0, 0, 63, 63]], np.float32)
+    labels = np.array([2, 0, 1, 3], np.int32)
+
+    self = types.SimpleNamespace(center_sampling=True,
+                                 center_sample_radius=1.5,
+                                 strides=strides_per_lvl, num_classes=4)
+    want_labels, want_bt, want_inds = single(
+        self, to_torch(gt), to_torch(labels.astype(np.int64)),
+        to_torch(points), to_torch(rranges),
+        [h * w for h, w in hw])
+
+    got = fcos_targets(jnp.asarray(points), jnp.asarray(strides),
+                       jnp.asarray(rranges), jnp.asarray(gt)[None],
+                       jnp.asarray(labels)[None],
+                       jnp.ones((1, 4), bool), num_classes=4,
+                       center_sampling=True, center_sample_radius=1.5,
+                       norm_on_bbox=False)
+    np.testing.assert_array_equal(np.asarray(got.labels[0]),
+                                  to_np(want_labels))
+    np.testing.assert_array_equal(np.asarray(got.gt_inds[0]),
+                                  to_np(want_inds))
+    np.testing.assert_allclose(np.asarray(got.bbox_targets[0]),
+                               to_np(want_bt), rtol=1e-5)
+
+    # and without center sampling
+    self.center_sampling = False
+    want_labels2, _, want_inds2 = single(
+        self, to_torch(gt), to_torch(labels.astype(np.int64)),
+        to_torch(points), to_torch(rranges), [h * w for h, w in hw])
+    got2 = fcos_targets(jnp.asarray(points), jnp.asarray(strides),
+                        jnp.asarray(rranges), jnp.asarray(gt)[None],
+                        jnp.asarray(labels)[None],
+                        jnp.ones((1, 4), bool), num_classes=4,
+                        center_sampling=False, norm_on_bbox=False)
+    np.testing.assert_array_equal(np.asarray(got2.labels[0]),
+                                  to_np(want_labels2))
+
+
+# -------------------------------------------------------------- Levelset
+
+def test_golden_region_levelset(rng):
+    from boxinstseg_tpu.models.losses.levelset_loss import region_levelset
+    ref = load_ref(LEVELSET, ['region_levelset'])['region_levelset']()
+    phi = rng.rand(3, 1, 16, 16).astype(np.float32)
+    score = np.concatenate([phi, 1 - phi], 1)
+    target = rng.rand(3, 5, 16, 16).astype(np.float32)
+    want = to_np(ref(to_torch(score), to_torch(target)))
+    got = np.asarray(region_levelset(jnp.asarray(score),
+                                     jnp.asarray(target)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_golden_length_regularization(rng):
+    from boxinstseg_tpu.models.losses.levelset_loss import \
+        length_regularization
+    ref = load_ref(LEVELSET, ['length_regularization'])[
+        'length_regularization']()
+    phi = rng.rand(3, 1, 16, 16).astype(np.float32)
+    want = to_np(ref(to_torch(phi)))
+    got = np.asarray(length_regularization(jnp.asarray(phi)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_golden_lcm(rng):
+    from boxinstseg_tpu.models.losses.levelset_loss import \
+        local_consistency_loss
+    ns = load_ref(LEVELSET, ['LCM', 'LocalConsistencyModule'])
+    imgs = rng.rand(2, 3, 12, 12).astype(np.float32)
+    phis = rng.rand(2, 1, 12, 12).astype(np.float32)
+    boxes = (rng.rand(2, 1, 12, 12) > 0.3).astype(np.float32)
+    want = float(ns['LCM'](to_torch(imgs), to_torch(phis), to_torch(boxes)))
+    got = float(local_consistency_loss(jnp.asarray(imgs), jnp.asarray(phis),
+                                       jnp.asarray(boxes)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+# -------------------------------------------------------------- DiscoBox
+
+def test_golden_dice_and_mil_loss(rng):
+    from boxinstseg_tpu.models.dense_heads.discobox_head import (
+        dice_loss_eps, mil_projection_loss)
+    ns = load_ref(DISCOBOX, ['dice_loss', 'mil_loss'])
+    x = rng.rand(4, 18, 18).astype(np.float32)
+    t = (rng.rand(4, 18, 18) > 0.5).astype(np.float32)
+    want_dice = to_np(ns['dice_loss'](to_torch(x), to_torch(t)))
+    got_dice = np.asarray(dice_loss_eps(jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(got_dice, want_dice, rtol=1e-4, atol=1e-6)
+
+    want_mil = to_np(ns['mil_loss'](ns['dice_loss'], to_torch(x), None,
+                                    to_torch(t)))
+    got_mil = np.asarray(mil_projection_loss(jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(got_mil, want_mil, rtol=1e-4, atol=1e-6)
+
+
+def test_golden_meanfield_crf(rng):
+    """Pseudo-label CRF vs the reference MeanField module (zero-padded
+    unfold parity, +10 feature shift, 0.5-binarize update)."""
+    from boxinstseg_tpu.models.dense_heads.discobox_head import MeanFieldCRF
+    MeanField = load_ref(DISCOBOX, ['MeanField'])['MeanField']
+    n, h, w = 3, 14, 14
+    feat = rng.rand(n, 3, h, w).astype(np.float32)
+    scores = rng.rand(n, 1, h, w).astype(np.float32)
+    targets = np.zeros((n, 1, h, w), np.float32)
+    for i in range(n):
+        targets[i, 0, 1 + i:10 + i, 2:12] = 1
+
+    mf = MeanField(to_torch(feat), kernel_size=3, theta0=0.5, theta1=30,
+                   theta2=20, alpha0=2, iter=10, base=0.10)
+    want, _ = mf(to_torch(scores), to_torch(targets))
+    want = to_np(want)
+
+    crf = MeanFieldCRF(kernel_size=3, theta0=0.5, theta1=30.0, theta2=20.0,
+                       alpha0=2.0, base=0.10, num_iter=10)
+    kernel = crf.build_kernel(jnp.asarray(feat.transpose(0, 2, 3, 1)))
+    got = np.asarray(crf(kernel, jnp.asarray(scores[:, 0])[:, None],
+                         jnp.asarray(targets[:, 0])[:, None]))
+    np.testing.assert_array_equal(got[:, 0], want[:, 0])
+
+
+# ------------------------------------------------------------ matrix NMS
+
+def test_golden_matrix_nms(rng):
+    from boxinstseg_tpu.ops.nms import mask_matrix_nms
+    ref = load_ref(MATRIXNMS, ['mask_matrix_nms'])['mask_matrix_nms']
+    n, h, w = 12, 20, 20
+    masks = np.zeros((n, h, w), np.float32)
+    for i in range(n):
+        x1, y1 = rng.randint(0, 8, 2)
+        masks[i, y1:y1 + rng.randint(5, 12), x1:x1 + rng.randint(5, 12)] = 1
+    labels = rng.randint(0, 3, n).astype(np.int64)
+    scores = rng.rand(n).astype(np.float32)
+
+    for kernel in ('gaussian', 'linear'):
+        want_scores, want_labels, _, want_keep = ref(
+            to_torch(masks), to_torch(labels), to_torch(scores),
+            kernel=kernel, sigma=2.0)
+        got = np.asarray(mask_matrix_nms(
+            jnp.asarray(masks), jnp.asarray(labels), jnp.asarray(scores),
+            jnp.ones(n, bool), kernel=kernel, sigma=2.0))
+        # ours returns decayed scores in input order; the reference returns
+        # them sorted with keep indices — align via keep_inds
+        keep = to_np(want_keep)
+        np.testing.assert_allclose(got[keep], to_np(want_scores),
+                                   rtol=1e-4, atol=1e-6)

@@ -75,11 +75,9 @@ def test_pairwise_term_matches_torch_formulation(rng):
     x = rng.randn(3, 9, 11).astype(np.float32) * 3
     want = torch_pairwise(torch.as_tensor(x)[:, None], 3, 2).numpy()
     got = np.asarray(compute_pairwise_term(jnp.asarray(x), 3, 2))
-    # NOTE: the torch unfold zero-pads raw *log-probs* with 0; ours pads
-    # logits with 0 => log(0.5). The reference CUDA kernel also pads
-    # logits, so interior pixels must agree; compare the interior.
-    np.testing.assert_allclose(got[:, :, 2:-2, 2:-2], want[:, :, 2:-2, 2:-2],
-                               atol=1e-3)
+    # zero-padded log-prob unfold: borders must agree too (the reference
+    # CUDA kernel does the same: pairwise.cu `ls_py = is_y_pad ? 0 : ...`)
+    np.testing.assert_allclose(got, want, atol=1e-3)
 
 
 def test_color_similarity_against_direct(rng):

@@ -21,11 +21,15 @@ def parse_args():
     p.add_argument('--save-results', help='save raw per-image results json')
     p.add_argument('--cfg-options', nargs='+', default=[])
     p.add_argument('--launcher', default='none')
+    p.add_argument('--device', default='auto', help="jax platform to pin ('cpu', 'tpu'); 'auto' keeps the default")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.device != 'auto':
+        import jax
+        jax.config.update('jax_platforms', args.device)
     from boxinstseg_tpu.config import Config
     from boxinstseg_tpu.registry import build_dataset
     from boxinstseg_tpu.apis.inference import init_detector

@@ -27,11 +27,22 @@ def parse_args():
                    help='accepted for CLI parity; ignored (pjit handles '
                         'data parallelism)')
     p.add_argument('--local_rank', type=int, default=0)
+    p.add_argument('--device', default='auto',
+                   help="jax platform to pin ('cpu', 'tpu', ...); 'auto' "
+                        'keeps the default (the JAX_PLATFORMS env var is '
+                        'ignored by some PJRT plugins, so pin via this flag)')
     return p.parse_args()
+
+
+def pin_device(device: str):
+    if device and device != 'auto':
+        import jax
+        jax.config.update('jax_platforms', device)
 
 
 def main():
     args = parse_args()
+    pin_device(args.device)
     from boxinstseg_tpu.config import Config
     from boxinstseg_tpu.registry import build_detector, build_dataset
     from boxinstseg_tpu.apis.train import train_detector
