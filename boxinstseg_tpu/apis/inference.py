@@ -30,15 +30,16 @@ def init_detector(config: Union[str, Config],
                                dummy, False)
     if checkpoint is not None:
         if checkpoint.endswith('.pth'):
-            # reference torch checkpoint -> converted variables
+            # reference torch checkpoint -> converted variables (detector
+            # family auto-detected from the state_dict key pattern)
             import torch
             from ..utils.checkpoint_convert import \
-                convert_condinst_checkpoint
+                convert_reference_checkpoint
             sd = torch.load(checkpoint, map_location='cpu',
                             weights_only=False)
             if 'state_dict' in sd:
                 sd = sd['state_dict']
-            params, stats = convert_condinst_checkpoint(sd)
+            params, stats = convert_reference_checkpoint(sd)
             from .train import _merge_pretrained
             variables = _merge_pretrained(variables, (params, stats))
         else:

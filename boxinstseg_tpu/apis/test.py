@@ -98,6 +98,8 @@ def run_evaluation(model, variables, dataset, cfg,
     import jax
     import jax.numpy as jnp
 
+    from .train import apply_precision_policy
+    apply_precision_policy(cfg)
     logger = get_root_logger()
     data_cfg = cfg.get('data', {}) if hasattr(cfg, 'get') else {}
     b = batch_size or data_cfg.get('samples_per_gpu', 2)

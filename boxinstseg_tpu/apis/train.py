@@ -25,6 +25,24 @@ def default_canvases(cfg) -> list:
     return [(800, 1344), (1344, 800)]
 
 
+def apply_precision_policy(cfg) -> bool:
+    """Enable bf16 mixed precision when the config asks for it.
+
+    Honors both the reference's ``fp16 = dict(loss_scale=...)`` key (the
+    DiscoBox recipe, reference discobox_solov2_coco_r50_fpn_3x.py:1 — on
+    TPU bf16 needs no loss scaling) and a native ``bf16 = True``.
+    """
+    from ..models.layers import set_compute_dtype
+    want = bool(cfg.get('bf16', False)) or cfg.get('fp16') is not None \
+        if hasattr(cfg, 'get') else False
+    if want:
+        import jax.numpy as jnp
+        set_compute_dtype(jnp.bfloat16)
+    else:
+        set_compute_dtype(None)
+    return want
+
+
 def resolve_intervals(cfg: Config, iters_per_epoch: int) -> Dict[str, Any]:
     """Resolve mmcv ``by_epoch`` semantics into absolute iteration counts.
 
@@ -86,6 +104,9 @@ def train_detector(model, dataset, cfg: Config,
         os.makedirs(work_dir, exist_ok=True)
     logger = get_root_logger(
         log_file=os.path.join(work_dir, 'train.log') if work_dir else None)
+
+    if apply_precision_policy(cfg):
+        logger.info('mixed precision: bf16 activations, f32 params/losses')
 
     data_cfg = cfg.get('data', {})
     samples_per_gpu = data_cfg.get('samples_per_gpu', 2)

@@ -56,7 +56,9 @@ def create_train_state(model, variables, tx: optax.GradientTransformation,
                        ema: bool = False, corr_state: Any = None
                        ) -> TrainState:
     params = variables['params']
-    copy = lambda t: jax.tree_util.tree_map(lambda x: x, t)
+    # a REAL buffer copy — identity tree_map would alias the student's
+    # arrays and break buffer donation (same buffer donated twice)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

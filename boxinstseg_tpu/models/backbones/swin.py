@@ -14,6 +14,8 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+from ..layers import Dense, compute_dtype
 import numpy as np
 
 from ...registry import BACKBONES
@@ -49,7 +51,7 @@ class WindowAttention(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * ws - 1) * (2 * ws - 1), h))
         rel_idx = jnp.asarray(_rel_pos_index(ws))
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+        qkv = Dense(self.dim * 3, use_bias=self.qkv_bias,
                        name='qkv')(x)
         bw = x.shape[0]
         qkv = qkv.reshape(bw, n, 3, h, d).transpose(2, 0, 3, 1, 4)
@@ -67,7 +69,7 @@ class WindowAttention(nn.Module):
         out = jnp.einsum('bhnm,bhmd->bhnd', attn, v,
                          preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(bw, n, self.dim)
-        return nn.Dense(self.dim, name='proj')(out)
+        return Dense(self.dim, name='proj')(out)
 
 
 def _window_partition(x, ws):
@@ -131,9 +133,9 @@ class SwinBlock(nn.Module):
         x = shortcut + self._drop_path(x, train)
 
         y = nn.LayerNorm(name='norm2')(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), name='mlp_fc1')(y)
+        y = Dense(int(self.dim * self.mlp_ratio), name='mlp_fc1')(y)
         y = jax.nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, name='mlp_fc2')(y)
+        y = Dense(self.dim, name='mlp_fc2')(y)
         return x + self._drop_path(y, train)
 
     def _drop_path(self, x, train):
@@ -173,6 +175,7 @@ class SwinTransformer(nn.Module):
     def __call__(self, x, train: bool = False):
         # patch embed: 4x4 conv stride 4 + LN
         x = nn.Conv(self.embed_dims, (self.patch_size, self.patch_size),
+                    dtype=compute_dtype(), param_dtype=jnp.float32,
                     strides=(self.patch_size, self.patch_size),
                     name='patch_embed')(x)
         if self.patch_norm:
@@ -207,7 +210,7 @@ class SwinTransformer(nn.Module):
                     x[:, 0::2, 0::2], x[:, 1::2, 0::2],
                     x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
                 x = nn.LayerNorm(name=f'merge_norm{si}')(x)
-                x = nn.Dense(2 * c, use_bias=False,
+                x = Dense(2 * c, use_bias=False,
                              name=f'merge_reduction{si}')(x)
                 dim = 2 * c
         return tuple(outs)

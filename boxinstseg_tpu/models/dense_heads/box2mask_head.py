@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
-from ..layers import Conv2d
+from ..layers import Conv2d, Dense
 from ..losses.levelset_loss import LocalConsistencyModule, region_levelset
 from ..plugins.msdeformattn_pixel_decoder import MSDeformAttnPixelDecoder
 from ..utils.positional_encoding import SinePositionalEncoding
@@ -113,9 +113,9 @@ class Box2MaskHead(nn.Module):
             dec_hw.append((h, w))
 
         post_norm = nn.LayerNorm(name='post_norm')
-        cls_embed = nn.Dense(self.num_classes + 1, name='cls_embed')
-        mask_mlp = [nn.Dense(c, name=f'mask_embed_{i}') for i in range(2)]
-        mask_out = nn.Dense(self.out_channels, name='mask_embed_out')
+        cls_embed = Dense(self.num_classes + 1, name='cls_embed')
+        mask_mlp = [Dense(c, name=f'mask_embed_{i}') for i in range(2)]
+        mask_out = Dense(self.out_channels, name='mask_embed_out')
         levelset_bottom = Conv2d(1, 3, 1, 1, name='levelset_bottom')
 
         def forward_head(query, target_hw):

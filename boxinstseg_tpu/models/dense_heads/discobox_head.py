@@ -395,40 +395,46 @@ class DiscoBoxSOLOv2Head(nn.Module):
         loss_corr = (per_q * okf).sum() / jnp.maximum(okf.sum(), 1e-4)
         loss_corr = loss_corr * cfg.get('loss_weight', 1.0) * corr_gate
 
-        # ---- inter-image priors (iiu) for the CRF
-        iiu = jnp.zeros((B * K, 2, H4, W4), jnp.float32)
+        # ---- inter-image priors (iiu) for the CRF.
+        # One traced body mapped over the Q queries (lax.map) instead of an
+        # unrolled python loop: Q-fold smaller HLO and the (R, 784, 784)
+        # superres intermediates live once, not Q times.
         nmask = mh * mw
         up = lambda x, hw: interpolate_bilinear(x, hw)
-        for qi in range(Q):
-            t_q = jax.lax.stop_gradient(t_assign[qi])          # (R,49,49)
+
+        def _query_canvas(args):
+            t_a, cu_q, qm_q, km_q, pv, qbox = args
+            t_q = jax.lax.stop_gradient(t_a)                   # (R,49,49)
             t_q = t_q * jax.lax.stop_gradient(
-                jax.nn.softmax(cu[qi], axis=2))
+                jax.nn.softmax(cu_q, axis=2))
             t_q = t_q / (t_q.sum(2, keepdims=True) + 1e-5)
             # superres (R, 49, 49) -> (R, 784, 784)
-            tq = t_q.reshape(R, fh * fw, fh, fw, 1)
-            tq = up(tq.reshape(R * fh * fw, fh, fw, 1),
+            tq = up(t_q.reshape(R * fh * fw, fh, fw, 1),
                     (mh, mw)).reshape(R, fh * fw, nmask)
             tq = tq.transpose(0, 2, 1).reshape(R * nmask, fh, fw, 1)
             tq = up(tq, (mh, mw)).reshape(R, nmask, nmask)
             tq = tq.transpose(0, 2, 1) * (fh * fw / nmask)
-            qm = q_mask[qi].reshape(-1)                         # (784,)
-            kmf = km[qi].reshape(R, -1)
+            qm = qm_q.reshape(-1)                               # (784,)
+            kmf = km_q.reshape(R, -1)
             fg_pair = (qm[None, :, None] * kmf[:, None, :]) > 0.5
             bg_pair = ((1 - qm)[None, :, None]
                        * (1 - kmf)[:, None, :]) > 0.5
-            pv = pair_valid[qi].astype(jnp.float32)
-            denom_r = jnp.maximum(pv.sum(), 1e-4)
+            pvf = pv.astype(jnp.float32)
+            denom_r = jnp.maximum(pvf.sum(), 1e-4)
             fg_ci = jnp.einsum(
                 'rnm,rm->n', tq * fg_pair,
-                jnp.clip(kmf, 0.1, 0.9) * pv[:, None]) / denom_r
+                jnp.clip(kmf, 0.1, 0.9) * pvf[:, None]) / denom_r
             bg_ci = jnp.einsum(
                 'rnm,rm->n', tq * bg_pair,
-                jnp.clip(1 - kmf, 0.1, 0.9) * pv[:, None]) / denom_r
+                jnp.clip(1 - kmf, 0.1, 0.9) * pvf[:, None]) / denom_r
             ci = jnp.stack([bg_ci, fg_ci]).reshape(2, mh, mw)
-            canvas = _paste_roi(ci, q_boxes[qi], H4, W4)
-            slot = order[qi]
-            iiu = iiu.at[slot].add(
-                canvas * q_ok[qi].astype(jnp.float32))
+            return _paste_roi(ci, qbox, H4, W4)
+
+        canvases = jax.lax.map(
+            _query_canvas,
+            (t_assign, cu, q_mask, km, pair_valid, q_boxes))   # (Q,2,H4,W4)
+        iiu = jnp.zeros((B * K, 2, H4, W4), jnp.float32).at[order].add(
+            canvases * q_ok[:, None, None, None].astype(jnp.float32))
         iiu = jax.lax.stop_gradient(
             iiu.reshape(B, K, 2, H4, W4) * corr_gate)
 

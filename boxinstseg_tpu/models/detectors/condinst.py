@@ -20,6 +20,7 @@ from ...core.targets.fcos import sample_positives_per_gt
 from ...ops.boxes import distance2bbox
 from ...ops.nms import greedy_nms
 from ...registry import (BACKBONES, DETECTORS, HEADS, NECKS)
+from ..layers import f32_tree
 
 DEFAULT_MEAN = (123.675, 116.28, 103.53)
 DEFAULT_STD = (58.395, 57.12, 57.375)
@@ -75,14 +76,15 @@ class CondInst(nn.Module):
         gt_valid (B,G).
         """
         feats = self.extract_feat(batch['image'], train=True)
-        outs = self.bbox_head_m(feats, train=True)
+        # force_fp32 boundary: heads may run bf16; losses are f32
+        outs = f32_tree(self.bbox_head_m(feats, train=True))
         losses, targets, pts = self.bbox_head_m.loss(
             outs, batch['gt_bboxes'], batch['gt_labels'], batch['gt_valid'])
 
-        mask_feat = self.mask_branch_m(feats, train=True)
+        mask_feat = f32_tree(self.mask_branch_m(feats, train=True))
 
         if self.segm_head_m is not None and 'gt_masks' in batch:
-            segm_pred = self.segm_head_m(feats[0], train=True)
+            segm_pred = f32_tree(self.segm_head_m(feats[0], train=True))
             losses.update(self.segm_head_m.loss(
                 segm_pred, batch['gt_masks'], batch['gt_labels'],
                 batch['gt_valid']))

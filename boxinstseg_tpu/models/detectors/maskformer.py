@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...registry import BACKBONES, DETECTORS, HEADS, NECKS
+from ..layers import f32_tree
 
 
 def instance_postprocess(mask_cls: jnp.ndarray, mask_pred: jnp.ndarray,
@@ -72,7 +73,8 @@ class MaskFormer(nn.Module):
     def loss(self, batch: Dict[str, jnp.ndarray], iteration: jnp.ndarray
              ) -> Dict[str, jnp.ndarray]:
         feats = self.extract_feat(batch['image'], train=True)
-        outs = self.panoptic_head_m(feats, train=True)
+        # force_fp32 boundary: heads may run bf16; losses are f32
+        outs = f32_tree(self.panoptic_head_m(feats, train=True))
         return self.panoptic_head_m.loss(outs, batch)
 
     def predict(self, batch: Dict[str, jnp.ndarray]

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...registry import BACKBONES, DETECTORS, HEADS, NECKS
+from ..layers import f32_tree
 
 
 @DETECTORS.register_module()
@@ -44,7 +45,8 @@ class SingleStageBoxInsDetector(nn.Module):
     def loss(self, batch: Dict[str, jnp.ndarray], iteration: jnp.ndarray
              ) -> Dict[str, jnp.ndarray]:
         feats = self.extract_feat(batch['image'], train=True)
-        outs = self.bbox_head_m(feats, train=True)
+        # force_fp32 boundary: heads may run bf16; losses are f32
+        outs = f32_tree(self.bbox_head_m(feats, train=True))
         return self.bbox_head_m.loss(outs, batch)
 
     def predict(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:

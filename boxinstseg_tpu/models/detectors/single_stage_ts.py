@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...registry import BACKBONES, DETECTORS, HEADS, NECKS
+from ..layers import f32_tree
 
 
 @DETECTORS.register_module()
@@ -69,9 +70,11 @@ class SingleStageWSInsDetector(nn.Module):
              gates: Optional[Dict] = None,
              bank=None) -> Dict[str, jnp.ndarray]:
         feats = self.extract_feat(batch['image'], train=True)
-        outs = self.bbox_head_m(feats, train=True)
-        mask_feat = self.mask_feat_head_m(self._mask_feat_inputs(feats),
-                                          train=True)
+        # force_fp32 boundary: heads may run bf16; losses are f32
+        outs = f32_tree(self.bbox_head_m(feats, train=True))
+        mask_feat = f32_tree(self.mask_feat_head_m(
+            self._mask_feat_inputs(feats), train=True))
+        feats = f32_tree(feats)   # p2 feeds the correspondence loss
         gates = gates or {}
         teacher = None
         t_feat = None

@@ -14,6 +14,34 @@ import flax.linen as nn
 
 Dtype = Any
 
+# ---------------------------------------------------------------------------
+# Mixed-precision policy (TPU dual of the reference's Fp16OptimizerHook +
+# force_fp32 decorators, mmdet/apis/train.py:182-189, condinst_head.py:364):
+# matmul/conv activations run in ``compute_dtype()`` (bf16 when enabled),
+# parameters and normalization statistics stay float32, and the detectors
+# upcast head outputs to float32 before any loss math. bf16 shares float32's
+# exponent range, so no loss scaling is needed.
+# The policy is read at TRACE time — set it before jit/init.
+_COMPUTE_DTYPE: Optional[Any] = None
+
+
+def set_compute_dtype(dtype: Optional[Any]) -> None:
+    """None = full f32; jnp.bfloat16 enables mixed precision."""
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
+
+def compute_dtype() -> Optional[Any]:
+    return _COMPUTE_DTYPE
+
+
+def f32_tree(tree):
+    """Upcast every floating leaf to float32 (loss-boundary force_fp32)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
 
 def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
@@ -38,7 +66,11 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable('batch_stats', 'var',
                             lambda: jnp.ones((self.features,)))
         inv = jax.lax.rsqrt(var.value + self.eps) * scale
-        return x * inv + (bias - mean.value * inv)
+        shift = bias - mean.value * inv
+        cd = compute_dtype()
+        if cd is not None:
+            return (x.astype(cd) * inv.astype(cd) + shift.astype(cd))
+        return x * inv + shift
 
 
 class SyncBatchNorm(nn.Module):
@@ -61,7 +93,7 @@ class SyncBatchNorm(nn.Module):
             momentum=self.momentum,
             epsilon=self.eps,
             axis_name=self.axis_name if train else None,
-            dtype=jnp.float32,
+            dtype=compute_dtype(),
         )
         return bn(x)
 
@@ -74,7 +106,7 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
-                            dtype=jnp.float32)(x)
+                            dtype=compute_dtype())(x)
 
 
 def make_norm(norm_cfg, features: int, axis_name: Optional[str] = None):
@@ -88,9 +120,9 @@ def make_norm(norm_cfg, features: int, axis_name: Optional[str] = None):
         return FrozenBatchNorm(features=features)
     if t == 'GN':
         return nn.GroupNorm(num_groups=norm_cfg.get('num_groups', 32),
-                            dtype=jnp.float32)
+                            dtype=compute_dtype())
     if t == 'LN':
-        return nn.LayerNorm(dtype=jnp.float32)
+        return nn.LayerNorm(dtype=compute_dtype())
     raise ValueError(f'unknown norm type {t}')
 
 
@@ -126,8 +158,23 @@ def Conv2d(features: int,
         use_bias=use_bias,
         kernel_init=kernel_init,
         bias_init=bias_init,
+        dtype=compute_dtype(),
+        param_dtype=jnp.float32,
         name=name,
     )
+
+
+def Dense(features: int, use_bias: bool = True,
+          kernel_init: Optional[Callable] = None,
+          bias_init: Callable = nn.initializers.zeros,
+          name: Optional[str] = None) -> nn.Dense:
+    """nn.Dense honoring the mixed-precision policy (params stay f32)."""
+    kw = {}
+    if kernel_init is not None:
+        kw['kernel_init'] = kernel_init
+    return nn.Dense(features, use_bias=use_bias, bias_init=bias_init,
+                    dtype=compute_dtype(), param_dtype=jnp.float32,
+                    name=name, **kw)
 
 
 class ConvModule(nn.Module):
@@ -159,16 +206,16 @@ class ConvModule(nn.Module):
             if t in ('BN', 'SyncBN'):
                 # torch BN momentum 0.1 == flax momentum 0.9
                 x = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
-                                 dtype=jnp.float32, name='bn')(
+                                 dtype=compute_dtype(), name='bn')(
                     x, use_running_average=not train)
             elif t == 'FrozenBN':
                 x = FrozenBatchNorm(self.features, name='bn')(x)
             elif t == 'GN':
                 x = nn.GroupNorm(
                     num_groups=self.norm_cfg.get('num_groups', 32),
-                    dtype=jnp.float32, name='gn')(x)
+                    dtype=compute_dtype(), name='gn')(x)
             elif t == 'LN':
-                x = nn.LayerNorm(dtype=jnp.float32, name='ln')(x)
+                x = nn.LayerNorm(dtype=compute_dtype(), name='ln')(x)
             else:
                 raise ValueError(t)
         if self.act == 'relu':

@@ -56,13 +56,17 @@ class MSDeformAttnPixelDecoder(nn.Module):
             (nel, self.feat_channels))
 
         # ---- flatten the low-res levels (C5 first)
+        gn = self.norm_cfg or dict(type='GN', num_groups=32)
         tokens, poss, shapes, refs = [], [], [], []
         for i in range(nel):
             level_idx = num_input - i - 1
             x = feats[level_idx]
             h, w = x.shape[1:3]
-            x = Conv2d(self.feat_channels, 1, 1, 0,
-                       name=f'input_conv_{i}')(x)
+            # reference: ConvModule(1x1, norm GN, act None, bias=True)
+            # (msdeformattn_pixel_decoder.py:82-92)
+            x = ConvModule(self.feat_channels, 1, 1, 0, norm_cfg=gn,
+                           act=None, use_bias=True,
+                           name=f'input_conv_{i}')(x, train=train)
             pos = pe(b, h, w) + level_enc[i]
             # normalized reference points: grid centers / (stride * size)
             ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
@@ -90,7 +94,6 @@ class MSDeformAttnPixelDecoder(nn.Module):
             b, shapes[i][0], shapes[i][1], -1) for i in range(nel)]
 
         # ---- FPN top-down for the remaining high-res levels
-        gn = self.norm_cfg or dict(type='GN', num_groups=32)
         for i in range(num_input - nel - 1, -1, -1):
             lateral = ConvModule(self.feat_channels, 1, 1, 0, norm_cfg=gn,
                                  act=None, name=f'lateral_conv_{i}')(

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
+from ..layers import Dense
+
 
 class MultiheadAttention(nn.Module):
     """Standard MHA with optional boolean attention mask (True = blocked),
@@ -32,9 +34,9 @@ class MultiheadAttention(nn.Module):
         c = self.embed_dims
         h = self.num_heads
         d = c // h
-        q = nn.Dense(c, name='q_proj')(query)
-        k = nn.Dense(c, name='k_proj')(key)
-        v = nn.Dense(c, name='v_proj')(value)
+        q = Dense(c, name='q_proj')(query)
+        k = Dense(c, name='k_proj')(key)
+        v = Dense(c, name='v_proj')(value)
         b, lq, _ = q.shape
         lk = k.shape[1]
         q = q.reshape(b, lq, h, d).transpose(0, 2, 1, 3)
@@ -48,7 +50,7 @@ class MultiheadAttention(nn.Module):
         out = jnp.einsum('bhqk,bhkd->bhqd', attn, v,
                          preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, c)
-        return nn.Dense(c, name='out_proj')(out)
+        return Dense(c, name='out_proj')(out)
 
 
 class FFN(nn.Module):
@@ -57,9 +59,9 @@ class FFN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Dense(self.feedforward_channels, name='fc1')(x)
+        y = Dense(self.feedforward_channels, name='fc1')(x)
         y = jax.nn.relu(y)
-        y = nn.Dense(self.embed_dims, name='fc2')(y)
+        y = Dense(self.embed_dims, name='fc2')(y)
         return x + y
 
 
@@ -130,15 +132,15 @@ class MultiScaleDeformableAttention(nn.Module):
         npnt = self.num_points
         b, l, _ = query.shape
 
-        v = nn.Dense(c, name='value_proj')(value)
-        offsets = nn.Dense(
+        v = Dense(c, name='value_proj')(value)
+        offsets = Dense(
             h * nl * npnt * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda *a: jnp.asarray(
                 _msda_offset_bias_init(h, nl, npnt)),
             name='sampling_offsets')(query)
         offsets = offsets.reshape(b, l, h, nl, npnt, 2)
-        attn = nn.Dense(h * nl * npnt, kernel_init=nn.initializers.zeros,
+        attn = Dense(h * nl * npnt, kernel_init=nn.initializers.zeros,
                         bias_init=nn.initializers.zeros,
                         name='attention_weights')(query)
         attn = jax.nn.softmax(attn.reshape(b, l, h, nl * npnt), axis=-1)
@@ -165,7 +167,7 @@ class MultiScaleDeformableAttention(nn.Module):
                 w_hp = attn[:, :, head, lvl][..., None]     # (b,l,p,1)
                 out = out.at[:, :, head].add((smp * w_hp).sum(axis=2))
         out = out.reshape(b, l, c)
-        return nn.Dense(c, name='output_proj')(out)
+        return Dense(c, name='output_proj')(out)
 
 
 class DetrTransformerEncoderLayer(nn.Module):

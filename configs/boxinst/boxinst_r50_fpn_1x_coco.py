@@ -66,12 +66,15 @@ model = dict(
         pairwise_color_thresh=0.3,
         pairwise_warmup=10000),
     test_cfg=dict(
-        nms_pre=1000,
+        nms_pre=2000,           # reference :84 (pre-NMS top-k per level)
         min_bbox_size=0,
         score_thr=0.05,
         nms=dict(type='nms', iou_threshold=0.5),
+        # reference uses 2000; NMS output is score-ranked so the top-100
+        # slice is identical, and COCO eval caps at maxDets=100 — keeping
+        # 100 here only bounds the static mask-decode capacity.
         max_per_img=100,
-        pre_nms_limit=1000))
+        pre_nms_limit=2000))
 
 # box supervision only: no masks in the train pipeline
 img_norm_cfg = dict(

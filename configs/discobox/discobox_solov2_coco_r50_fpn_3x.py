@@ -1,3 +1,4 @@
+fp16 = dict(loss_scale=512.)  # reference :1 — bf16 on TPU, no scaling
 # DiscoBox SOLOv2 R-50-FPN 3x COCO (reference zoo: 32.2 val mask AP).
 _base_ = [
     '../_base_/default_runtime.py',

@@ -1,0 +1,298 @@
+"""Converter round-trips for every detector family.
+
+For each tiny model we build a fake reference state_dict with the
+reference's exact key naming (independently re-derived here from the
+reference source: box_solov2_head.py:62-157, discobox_head.py:436-797,
+box2mask_head.py:62-105, msdeformattn_pixel_decoder.py:93-129, mmcv
+FFN/MultiheadAttention layouts) whose values are our init params
+transposed back to torch layout. convert_reference_checkpoint must
+reproduce the init tree EXACTLY — every path present, every shape right,
+every transpose inverted. A missing or misnamed mapping fails loudly.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import boxinstseg_tpu  # noqa: F401
+from boxinstseg_tpu.registry import build_detector
+from boxinstseg_tpu.utils.checkpoint_convert import \
+    convert_reference_checkpoint
+
+
+def _t(x):  # flax conv kernel HWIO -> torch OIHW
+    return np.transpose(np.asarray(x), (3, 2, 0, 1))
+
+
+def _lt(x):  # flax linear kernel (in, out) -> torch (out, in)
+    return np.asarray(x).T
+
+
+def _rev_convmodule(sd, prefix, tree, stats=None):
+    sd[f'{prefix}.conv.weight'] = _t(tree['conv']['kernel'])
+    if 'bias' in tree['conv']:
+        sd[f'{prefix}.conv.bias'] = np.asarray(tree['conv']['bias'])
+    if 'gn' in tree:
+        sd[f'{prefix}.gn.weight'] = np.asarray(tree['gn']['scale'])
+        sd[f'{prefix}.gn.bias'] = np.asarray(tree['gn']['bias'])
+    if 'bn' in tree:
+        sd[f'{prefix}.bn.weight'] = np.asarray(tree['bn']['scale'])
+        sd[f'{prefix}.bn.bias'] = np.asarray(tree['bn']['bias'])
+        if stats is not None:
+            sd[f'{prefix}.bn.running_mean'] = np.asarray(stats['bn']['mean'])
+            sd[f'{prefix}.bn.running_var'] = np.asarray(stats['bn']['var'])
+
+
+def _rev_plain_conv(sd, prefix, tree):
+    sd[f'{prefix}.weight'] = _t(tree['kernel'])
+    if 'bias' in tree:
+        sd[f'{prefix}.bias'] = np.asarray(tree['bias'])
+
+
+def _rev_resnet(sd, params, stats, prefix='backbone.'):
+    for name, sub in params.items():
+        if name == 'conv1':
+            sd[prefix + 'conv1.weight'] = _t(sub['kernel'])
+        elif name == 'bn1':
+            sd[prefix + 'bn1.weight'] = np.asarray(sub['scale'])
+            sd[prefix + 'bn1.bias'] = np.asarray(sub['bias'])
+            sd[prefix + 'bn1.running_mean'] = np.asarray(
+                stats['bn1']['mean'])
+            sd[prefix + 'bn1.running_var'] = np.asarray(stats['bn1']['var'])
+        else:  # layer{s}_{b}
+            s, b = name[5:].split('_')
+            tb = f'{prefix}layer{s}.{b}.'
+            for mod, p in sub.items():
+                if mod.startswith('conv'):
+                    sd[tb + f'{mod}.weight'] = _t(p['kernel'])
+                elif mod.startswith('bn'):
+                    sd[tb + f'{mod}.weight'] = np.asarray(p['scale'])
+                    sd[tb + f'{mod}.bias'] = np.asarray(p['bias'])
+                    st = stats[name][mod]
+                    sd[tb + f'{mod}.running_mean'] = np.asarray(st['mean'])
+                    sd[tb + f'{mod}.running_var'] = np.asarray(st['var'])
+                elif mod == 'downsample_conv':
+                    sd[tb + 'downsample.0.weight'] = _t(p['kernel'])
+                elif mod == 'downsample_bn':
+                    sd[tb + 'downsample.1.weight'] = np.asarray(p['scale'])
+                    sd[tb + 'downsample.1.bias'] = np.asarray(p['bias'])
+                    st = stats[name][mod]
+                    sd[tb + 'downsample.1.running_mean'] = np.asarray(
+                        st['mean'])
+                    sd[tb + 'downsample.1.running_var'] = np.asarray(
+                        st['var'])
+
+
+def _rev_fpn(sd, params, prefix='neck.'):
+    n_lat = sum(1 for k in params if k.startswith('lateral_'))
+    for name, sub in params.items():
+        if name.startswith('lateral_'):
+            i = name.split('_')[1]
+            _rev_plain_conv(sd, f'{prefix}lateral_convs.{i}.conv', sub)
+        elif name.startswith('fpn_conv_'):
+            i = name.split('_')[-1]
+            _rev_plain_conv(sd, f'{prefix}fpn_convs.{i}.conv', sub)
+        elif name.startswith('extra_conv_'):
+            i = int(name.split('_')[-1])
+            _rev_plain_conv(sd, f'{prefix}fpn_convs.{n_lat + i}.conv', sub)
+
+
+def _assert_tree_equal(got, want, path=''):
+    assert isinstance(got, dict) == isinstance(want, dict), path
+    if isinstance(want, dict):
+        assert set(got) == set(want), \
+            f'{path}: {sorted(set(want) - set(got))} missing, ' \
+            f'{sorted(set(got) - set(want))} extra'
+        for k in want:
+            _assert_tree_equal(got[k], want[k], f'{path}/{k}')
+    else:
+        got = np.asarray(got)
+        want = np.asarray(want)
+        assert got.shape == want.shape, (path, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7,
+                                   err_msg=path)
+
+
+def _roundtrip(model_cfg, method, sd_builder):
+    from boxinstseg_tpu.engine import init_variables
+    model = build_detector(model_cfg)
+    batch = method()
+    variables = init_variables(model, {'params': jax.random.PRNGKey(0)},
+                               batch, jnp.zeros((), jnp.int32),
+                               method=model.loss)
+    params = jax.device_get(variables['params'])
+    stats = jax.device_get(variables.get('batch_stats', {}))
+    sd = sd_builder(params, stats)
+    got_p, got_s = convert_reference_checkpoint(sd)
+    for key in got_p:
+        _assert_tree_equal(got_p[key], params[key], key)
+    assert set(got_p) == set(params), (set(params) - set(got_p))
+    for key in got_s:
+        _assert_tree_equal(got_s[key], stats[key], 'stats/' + key)
+
+
+def test_boxlevelset_checkpoint_roundtrip():
+    from test_boxlevelset_model import tiny_cfg, synth_batch
+
+    def build_sd(params, stats):
+        sd = {}
+        _rev_resnet(sd, params['backbone_m'], stats['backbone_m'])
+        _rev_fpn(sd, params['neck_m'])
+        hp = params['bbox_head_m']
+        for name, sub in hp.items():
+            if name.startswith('kernel_conv_'):
+                i = name.split('_')[-1]
+                _rev_convmodule(sd, f'bbox_head.kernel_convs.{i}', sub)
+            elif name.startswith('cate_conv_'):
+                i = name.split('_')[-1]
+                _rev_convmodule(sd, f'bbox_head.cate_convs.{i}', sub)
+            elif name.startswith('feature_conv_'):
+                _, _, i, j = name.split('_')
+                _rev_convmodule(sd, f'bbox_head.feature_convs.{i}.conv{j}',
+                                sub)
+            elif name in ('solo_cate', 'solo_kernel', 'solo_mask',
+                          'levelset_bottom'):
+                _rev_plain_conv(sd, f'bbox_head.{name}', sub)
+            else:
+                raise AssertionError(f'unmapped head module {name}')
+        return sd
+
+    _roundtrip(tiny_cfg(), lambda: _batch('test_boxlevelset_model'),
+               build_sd)
+
+
+def test_discobox_checkpoint_roundtrip():
+    from test_discobox_model import tiny_cfg
+
+    def build_sd(params, stats):
+        sd = {}
+        _rev_resnet(sd, params['backbone_m'], stats['backbone_m'])
+        _rev_fpn(sd, params['neck_m'])
+        for name, sub in params['bbox_head_m'].items():
+            if name.startswith('kernel_conv_'):
+                i = name.split('_')[-1]
+                _rev_convmodule(sd, f'bbox_head.kernel_convs.{i}', sub)
+            elif name.startswith('cate_conv_'):
+                i = name.split('_')[-1]
+                _rev_convmodule(sd, f'bbox_head.cate_convs.{i}', sub)
+            elif name in ('solo_cate', 'solo_kernel'):
+                _rev_plain_conv(sd, f'bbox_head.{name}', sub)
+            else:
+                raise AssertionError(f'unmapped head module {name}')
+        for name, sub in params['mask_feat_head_m'].items():
+            if name.startswith('level_'):
+                _, i, _, j = name.split('_')
+                _rev_convmodule(
+                    sd, f'mask_feat_head.convs_all_levels.{i}.conv{j}', sub)
+            elif name == 'conv_pred':
+                _rev_convmodule(sd, 'mask_feat_head.conv_pred.0', sub)
+            else:
+                raise AssertionError(f'unmapped mask feat module {name}')
+        return sd
+
+    _roundtrip(tiny_cfg(), lambda: _batch('test_discobox_model'), build_sd)
+
+
+def test_box2mask_checkpoint_roundtrip():
+    from test_box2mask_model import tiny_cfg
+
+    def _rev_mha(sd, prefix, tree):
+        q = _lt(tree['q_proj']['kernel'])
+        k = _lt(tree['k_proj']['kernel'])
+        v = _lt(tree['v_proj']['kernel'])
+        sd[f'{prefix}.attn.in_proj_weight'] = np.concatenate([q, k, v], 0)
+        sd[f'{prefix}.attn.in_proj_bias'] = np.concatenate(
+            [np.asarray(tree['q_proj']['bias']),
+             np.asarray(tree['k_proj']['bias']),
+             np.asarray(tree['v_proj']['bias'])], 0)
+        sd[f'{prefix}.attn.out_proj.weight'] = _lt(
+            tree['out_proj']['kernel'])
+        sd[f'{prefix}.attn.out_proj.bias'] = np.asarray(
+            tree['out_proj']['bias'])
+
+    def _rev_linear(sd, prefix, tree):
+        sd[f'{prefix}.weight'] = _lt(tree['kernel'])
+        if 'bias' in tree:
+            sd[f'{prefix}.bias'] = np.asarray(tree['bias'])
+
+    def _rev_norm(sd, prefix, tree):
+        sd[f'{prefix}.weight'] = np.asarray(tree['scale'])
+        sd[f'{prefix}.bias'] = np.asarray(tree['bias'])
+
+    def build_sd(params, stats):
+        sd = {}
+        _rev_resnet(sd, params['backbone_m'], stats['backbone_m'])
+        hp = params['panoptic_head_m']
+        pdp = hp['pixel_decoder']
+        for name, sub in pdp.items():
+            if name.startswith('input_conv_'):
+                i = name.split('_')[-1]
+                _rev_convmodule(sd, f'panoptic_head.pixel_decoder.'
+                                    f'input_convs.{i}', sub)
+            elif name.startswith('lateral_conv_'):
+                i = name.split('_')[-1]
+                _rev_convmodule(sd, f'panoptic_head.pixel_decoder.'
+                                    f'lateral_convs.{i}', sub)
+            elif name.startswith('output_conv_'):
+                i = name.split('_')[-1]
+                _rev_convmodule(sd, f'panoptic_head.pixel_decoder.'
+                                    f'output_convs.{i}', sub)
+            elif name == 'level_encoding':
+                sd['panoptic_head.pixel_decoder.level_encoding.weight'] = \
+                    np.asarray(sub)
+            elif name == 'mask_feature':
+                _rev_plain_conv(
+                    sd, 'panoptic_head.pixel_decoder.mask_feature', sub)
+            elif name.startswith('encoder_layer_'):
+                li = name.split('_')[-1]
+                b = f'panoptic_head.pixel_decoder.encoder.layers.{li}'
+                for pn in ('sampling_offsets', 'attention_weights',
+                           'value_proj', 'output_proj'):
+                    _rev_linear(sd, f'{b}.attentions.0.{pn}',
+                                sub['attn'][pn])
+                _rev_linear(sd, f'{b}.ffns.0.layers.0.0', sub['ffn']['fc1'])
+                _rev_linear(sd, f'{b}.ffns.0.layers.1', sub['ffn']['fc2'])
+                _rev_norm(sd, f'{b}.norms.0', sub['norm1'])
+                _rev_norm(sd, f'{b}.norms.1', sub['norm2'])
+            else:
+                raise AssertionError(f'unmapped pixel decoder {name}')
+        for name, sub in hp.items():
+            if name == 'pixel_decoder':
+                continue
+            if name.startswith('decoder_layer_'):
+                li = name.split('_')[-1]
+                b = f'panoptic_head.transformer_decoder.layers.{li}'
+                _rev_mha(sd, f'{b}.attentions.0', sub['cross_attn'])
+                _rev_mha(sd, f'{b}.attentions.1', sub['self_attn'])
+                _rev_linear(sd, f'{b}.ffns.0.layers.0.0', sub['ffn']['fc1'])
+                _rev_linear(sd, f'{b}.ffns.0.layers.1', sub['ffn']['fc2'])
+                _rev_norm(sd, f'{b}.norms.0', sub['norm1'])
+                _rev_norm(sd, f'{b}.norms.1', sub['norm2'])
+                _rev_norm(sd, f'{b}.norms.2', sub['norm3'])
+            elif name == 'post_norm':
+                _rev_norm(sd, 'panoptic_head.transformer_decoder.post_norm',
+                          sub)
+            elif name in ('query_embed', 'query_feat', 'level_embed'):
+                sd[f'panoptic_head.{name}.weight'] = np.asarray(sub)
+            elif name == 'cls_embed':
+                _rev_linear(sd, 'panoptic_head.cls_embed', sub)
+            elif name == 'mask_embed_0':
+                _rev_linear(sd, 'panoptic_head.mask_embed.0', sub)
+            elif name == 'mask_embed_1':
+                _rev_linear(sd, 'panoptic_head.mask_embed.2', sub)
+            elif name == 'mask_embed_out':
+                _rev_linear(sd, 'panoptic_head.mask_embed.4', sub)
+            elif name == 'levelset_bottom':
+                _rev_plain_conv(sd, 'panoptic_head.levelset_bottom', sub)
+            else:
+                raise AssertionError(f'unmapped head module {name}')
+        return sd
+
+    _roundtrip(tiny_cfg(), lambda: _batch('test_box2mask_model'), build_sd)
+
+
+def _batch(mod):
+    import importlib
+    m = importlib.import_module(mod)
+    return m.synth_batch(np.random.RandomState(0))
