@@ -60,14 +60,15 @@ def postprocess_masks(mask_scores: np.ndarray, img_shape, ori_shape,
 
 
 def format_detection(out: Dict, i: int, img_shape, ori_shape,
-                     test_cfg: Optional[Dict] = None) -> Dict:
+                     test_cfg: Optional[Dict] = None):
     """Format one image's device ``predict`` output into host results.
 
     Handles both output families: FCOS-style (CondInst: has 'bboxes') and
     SOLO/Box2Mask-style (masks only — boxes recovered from mask extents,
     reference format_results, single_stage_boxseg.py:75-90).
-    Returns dict(bboxes (n,5) incl. score, labels (n,), masks list of
-    (oh, ow) uint8).
+    Returns an ``InstanceData`` (reference: core/data_structures/
+    instance_data.py) with bboxes (n,5) incl. score, labels (n,), masks
+    list of (oh, ow) uint8 — field access by name or row indexing.
     """
     valid = out['valid'][i]
     labels = out['labels'][i][valid]
@@ -87,8 +88,12 @@ def format_detection(out: Dict, i: int, img_shape, ori_shape,
                 boxes[d, :4] = [xs.min(), ys.min(), xs.max() + 1,
                                 ys.max() + 1]
             boxes[d, 4] = scores[d]
-    return dict(bboxes=boxes.astype(np.float64),
-                labels=labels.astype(np.int64), masks=masks)
+    from ..core.structures import InstanceData
+    return InstanceData(
+        metainfo=dict(img_shape=tuple(int(v) for v in img_shape),
+                      ori_shape=tuple(int(v) for v in ori_shape)),
+        bboxes=boxes.astype(np.float64),
+        labels=labels.astype(np.int64), masks=masks)
 
 
 def run_evaluation(model, variables, dataset, cfg,

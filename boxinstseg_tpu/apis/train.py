@@ -110,9 +110,13 @@ def train_detector(model, dataset, cfg: Config,
 
     data_cfg = cfg.get('data', {})
     samples_per_gpu = data_cfg.get('samples_per_gpu', 2)
-    n_dev = len(jax.devices())
+    n_dev = jax.device_count()               # global across processes
     global_batch = samples_per_gpu * n_dev
     mesh = get_data_mesh()
+    proc_id, proc_n = jax.process_index(), jax.process_count()
+    if proc_n > 1:
+        logger.info(f'multi-host: process {proc_id}/{proc_n}, '
+                    f'{n_dev} global devices, global batch {global_batch}')
 
     mask_head_cfg = cfg.model.get('mask_head', {}) or {}
     batcher = StaticBatcher(
@@ -126,8 +130,9 @@ def train_detector(model, dataset, cfg: Config,
     )
     loader = TrainLoader(dataset, global_batch, batcher,
                          num_workers=data_cfg.get('workers_per_gpu', 2)
-                         * max(n_dev, 4),
-                         seed=cfg.get('seed', 0))
+                         * max(jax.local_device_count(), 4),
+                         seed=cfg.get('seed', 0),
+                         process_id=proc_id, process_count=proc_n)
 
     iters_per_epoch = max(len(dataset) // global_batch, 1)
     iv = resolve_intervals(cfg, iters_per_epoch)
@@ -155,11 +160,11 @@ def train_detector(model, dataset, cfg: Config,
     if init_params is not None:  # pretrained backbone etc.
         variables = _merge_pretrained(variables, init_params)
 
-    paramwise_lr_fn = _paramwise_lr_fn(cfg.optimizer)
+    # paramwise lr/decay multipliers (custom_keys, norm_decay_mult,
+    # LayerDecayOptimizerConstructor) resolve inside build_optimizer
     tx = build_optimizer(cfg.optimizer, sched,
                          optimizer_config=cfg.get('optimizer_config'),
-                         params_example=variables['params'],
-                         paramwise_lr_fn=paramwise_lr_fn)
+                         params_example=variables['params'])
     use_ts = cfg.model.get('type') in ('DiscoBoxSOLOv2',
                                        'SingleStageWSInsTSDetector')
     state = create_train_state(model, variables, tx, ema=use_ts)
@@ -184,9 +189,15 @@ def train_detector(model, dataset, cfg: Config,
     repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     state = jax.device_put(state, repl)
 
+    # logging/eval hooks run on process 0 only (reference rank-0 gating);
+    # checkpointing must run on EVERY process — orbax coordinates saves
+    # with a cross-process barrier, so a rank-gated save would deadlock
     hooks = build_hooks(model, cfg, iv, ckpt_dir, logger=logger,
                         global_batch=global_batch, lr_fn=sched,
                         validate=validate, val_dataset=val_dataset)
+    if proc_id != 0:
+        from ..engine.hooks import CheckpointHook
+        hooks = [h for h in hooks if isinstance(h, CheckpointHook)]
 
     start = int(state.step)
     it = iter(loader)
@@ -230,32 +241,15 @@ def build_hooks(model, cfg: Config, iv: Dict[str, Any], ckpt_dir: str,
         elif t == 'EMAHook':
             hooks.append(EMAHook(h.get('momentum', 0.999),
                                  h.get('interval', 1)))
+        elif t == 'ProfilerHook':
+            from ..engine.hooks import ProfilerHook
+            hooks.append(ProfilerHook(h.get('start', 50), h.get('stop', 55),
+                                      h.get('log_dir', './profile'),
+                                      logger))
         # NumClassCheckHook handled up-front in train_detector;
         # SyncNormHook/SyncRandomSizeHook are no-ops under pjit (global
         # BN stats / static shapes by construction).
     return hooks
-
-
-def _paramwise_lr_fn(optimizer_cfg):
-    """mmcv paramwise_cfg.custom_keys -> per-parameter LR multipliers
-    (reference: Box2Mask AdamW recipe — backbone lr x0.1, embeddings
-    decay 0)."""
-    custom = (optimizer_cfg.get('paramwise_cfg', {}) or {}).get(
-        'custom_keys', {})
-    if not custom:
-        return None
-    # longest-prefix-match on the path string
-    keys = sorted(custom.items(), key=lambda kv: -len(kv[0]))
-
-    def fn(path: str) -> float:
-        lowered = path.lower()
-        for key, spec in keys:
-            k = key.replace('backbone', 'backbone_m').replace('.', '/')
-            if k.lower() in lowered:
-                return float(spec.get('lr_mult', 1.0))
-        return 1.0
-
-    return fn
 
 
 def _merge_pretrained(variables, init):

@@ -157,6 +157,52 @@ def _parse_option_value(value: str) -> Any:
     return value
 
 
+_PATTERN_KEY = None
+
+
+def replace_cfg_vals(cfg: 'Config') -> 'Config':
+    """Replace every "${key}" / "xxx${a.b}xxx" string with the value of
+    cfg.key (reference: mmdet/utils/replace_cfg_vals.py, applied in
+    tools/train.py:114). Also honors the ``model_wrapper`` swap."""
+    import re
+    global _PATTERN_KEY
+    if _PATTERN_KEY is None:
+        _PATTERN_KEY = re.compile(r'\$\{[a-zA-Z\d_.]*\}')
+
+    root = cfg._cfg_dict
+
+    def get_value(key):
+        d = root
+        for k in key.split('.'):
+            d = d[k]
+        return d
+
+    def replace_value(v):
+        if isinstance(v, dict):
+            return ConfigDict({k: replace_value(x) for k, x in v.items()})
+        if isinstance(v, (list, tuple)):
+            return type(v)(replace_value(x) for x in v)
+        if isinstance(v, str):
+            keys = _PATTERN_KEY.findall(v)
+            if not keys:
+                return v
+            values = [get_value(k[2:-1]) for k in keys]
+            if len(keys) == 1 and keys[0] == v:
+                return values[0]
+            for k, val in zip(keys, values):
+                assert not isinstance(val, (dict, list, tuple)), \
+                    f'cannot splice {type(val)} into string {v!r}'
+                v = v.replace(k, str(val))
+            return v
+        return v
+
+    out = Config(replace_value(root), filename=cfg.filename)
+    if out.get('model_wrapper') is not None:
+        out.model = out['model_wrapper']
+        del out._cfg_dict['model_wrapper']
+    return out
+
+
 class Config:
     """Loaded configuration tree with attribute access."""
 

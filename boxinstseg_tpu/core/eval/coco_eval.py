@@ -31,11 +31,15 @@ MAX_DETS = (1, 10, 100)
 
 class COCOEvaluator:
     def __init__(self, coco_gt: COCO, img_ids: Sequence[int],
-                 cat_ids: Sequence[int], iou_type: str = 'bbox'):
+                 cat_ids: Sequence[int], iou_type: str = 'bbox',
+                 iou_thrs=None):
         self.coco = coco_gt
         self.img_ids = list(img_ids)
         self.cat_ids = list(cat_ids)
         self.iou_type = iou_type
+        # custom thresholds for error-analysis tooling
+        self.iou_thrs = np.asarray(iou_thrs, np.float64) \
+            if iou_thrs is not None else IOU_THRS
         self._gts = defaultdict(list)
         for img_id in self.img_ids:
             for ann in self.coco.img_to_anns.get(img_id, []):
@@ -115,14 +119,14 @@ class COCOEvaluator:
                 else np.zeros(0)
 
         out = {}
-        T = len(IOU_THRS)
+        T = len(self.iou_thrs)
         for aname, (amin, amax) in AREA_RNG.items():
             g_ignore = g_ignore_base | (g_areas < amin) | (g_areas > amax)
             ng = len(gt_sorted)
             dt_m = np.zeros((T, nd), np.int64) - 1   # matched gt index
             dt_ig = np.zeros((T, nd), bool)
             gt_m = np.zeros((T, ng), np.int64) - 1
-            for t_i, t in enumerate(IOU_THRS):
+            for t_i, t in enumerate(self.iou_thrs):
                 for d_i in range(nd):
                     best = -1
                     best_iou = min(t, 1 - 1e-10)
@@ -151,7 +155,7 @@ class COCOEvaluator:
         return out
 
     def _accumulate(self, eval_imgs) -> Dict:
-        T = len(IOU_THRS)
+        T = len(self.iou_thrs)
         K = len(self.cat_ids)
         A = len(AREA_RNG)
         M = len(MAX_DETS)

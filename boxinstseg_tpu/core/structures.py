@@ -33,6 +33,10 @@ class BitmapMasks:
             masks = masks[None]
         return BitmapMasks(masks, self.height, self.width)
 
+    def __iter__(self):
+        # like the reference container: iterate raw (H, W) arrays
+        return iter(self.masks)
+
     @property
     def areas(self) -> np.ndarray:
         return self.masks.sum((1, 2))
@@ -82,6 +86,9 @@ class PolygonMasks:
     def __len__(self):
         return len(self.masks)
 
+    def __iter__(self):
+        return iter(self.masks)
+
     def to_bitmap(self) -> BitmapMasks:
         from ..data.coco_api import poly_to_mask
         bitmaps = [poly_to_mask(polys, self.height, self.width)
@@ -124,10 +131,15 @@ class InstanceData:
         return 0
 
     def __getitem__(self, idx):
+        if isinstance(idx, str):      # field access, like the reference
+            return self._fields[idx]
         out = InstanceData(self._meta)
         for k, v in self._fields.items():
             out._fields[k] = v[idx]
         return out
+
+    def __contains__(self, key):
+        return key in self._fields
 
     def keys(self):
         return self._fields.keys()

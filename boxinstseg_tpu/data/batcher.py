@@ -77,8 +77,11 @@ class StaticBatcher:
                 gt_valid[i, :n] = True
                 if gt_masks is not None and 'gt_masks' in smp:
                     s = self.mask_stride
+                    # BitmapMasks container (pipeline) or raw (N, H, W)
+                    marr = getattr(smp['gt_masks'], 'masks',
+                                   smp['gt_masks'])
                     for g in range(n):
-                        m = smp['gt_masks'][g]
+                        m = np.asarray(marr[g])
                         mh, mw = m.shape[:2]
                         gt_masks[i, g, :math.ceil(mh / s),
                                  :math.ceil(mw / s)] = m[::s, ::s]

@@ -20,10 +20,21 @@ from .batcher import GroupedBatchSampler, SequentialBatchSampler, \
 
 
 class TrainLoader:
+    """``batch_size`` is the GLOBAL batch. In multi-process runs every
+    process samples the same global index sequence (same seed) and loads
+    only its contiguous slice — the analog of the reference's
+    DistributedGroupSampler per-rank shards (mmdet/datasets/
+    builder.py:140-182)."""
+
     def __init__(self, dataset, batch_size: int, batcher: StaticBatcher,
-                 num_workers: int = 8, seed: int = 0, prefetch: int = 2):
+                 num_workers: int = 8, seed: int = 0, prefetch: int = 2,
+                 process_id: int = 0, process_count: int = 1):
+        assert batch_size % process_count == 0, (batch_size, process_count)
         self.dataset = dataset
         self.batch_size = batch_size
+        self.local_slice = slice(
+            process_id * (batch_size // process_count),
+            (process_id + 1) * (batch_size // process_count))
         self.batcher = batcher
         self.sampler = GroupedBatchSampler(dataset.flag, batch_size,
                                            seed=seed)
@@ -52,6 +63,7 @@ class TrainLoader:
             for batch_idx in self.sampler:
                 if stop.is_set():
                     return
+                batch_idx = batch_idx[self.local_slice]
                 futs = [self.pool.submit(self._load_one, i, self.seed + step)
                         for i in batch_idx]
                 samples = [f.result() for f in futs]

@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..registry import PIPELINES
+from ..core.structures import BitmapMasks, PolygonMasks
 
 
 def _imread(path: str, to_rgb: bool = True) -> np.ndarray:
@@ -69,6 +70,7 @@ class LoadAnnotations:
         self.with_bbox = with_bbox
         self.with_label = with_label
         self.with_mask = with_mask
+        self.poly2mask = poly2mask
 
     def __call__(self, results: Dict) -> Dict:
         ann = results['ann_info']
@@ -77,8 +79,24 @@ class LoadAnnotations:
             results.setdefault('bbox_fields', []).append('gt_bboxes')
         if self.with_label:
             results['gt_labels'] = ann['labels'].astype(np.int64).copy()
-        if self.with_mask and 'masks' in ann:
-            results['gt_masks'] = [m.copy() for m in ann['masks']]
+        if self.with_mask:
+            h, w = results['img'].shape[:2]
+            segs = ann.get('segmentations') or []
+            if segs and not self.poly2mask \
+                    and all(isinstance(sg, (list, tuple)) for sg in segs):
+                masks = PolygonMasks(list(segs), h, w).to_bitmap()
+            else:
+                from .coco_api import poly_to_mask, rle_decode
+                arr = []
+                for sg in segs:
+                    if isinstance(sg, dict):
+                        arr.append(rle_decode(sg))
+                    elif sg is None:
+                        arr.append(np.zeros((h, w), np.uint8))
+                    else:
+                        arr.append(poly_to_mask(sg, h, w))
+                masks = BitmapMasks(arr, h, w)
+            results['gt_masks'] = masks
             results.setdefault('mask_fields', []).append('gt_masks')
         return results
 
@@ -147,10 +165,7 @@ class Resize:
                 boxes[:, 1::2] = boxes[:, 1::2].clip(0, new_h)
             results[key] = boxes
         for key in results.get('mask_fields', []):
-            results[key] = [
-                cv2.resize(m, (new_w, new_h),
-                           interpolation=cv2.INTER_NEAREST)
-                for m in results[key]]
+            results[key] = results[key].resize((new_h, new_w))
         return results
 
 
@@ -178,7 +193,7 @@ class RandomFlip:
             boxes[:, 2] = w - results[key][:, 0]
             results[key] = boxes
         for key in results.get('mask_fields', []):
-            results[key] = [m[:, ::-1].copy() for m in results[key]]
+            results[key] = results[key].flip(self.direction)
         return results
 
 
@@ -225,9 +240,7 @@ class Pad:
         results['pad_fixed_size'] = self.size
         results['pad_size_divisor'] = self.size_divisor
         for key in results.get('mask_fields', []):
-            results[key] = [np.pad(m, ((0, th - m.shape[0]),
-                                       (0, tw - m.shape[1])))
-                            for m in results[key]]
+            results[key] = results[key].pad((th, tw))
         return results
 
 
@@ -244,7 +257,8 @@ class GenerateBoxMask:
             x1, y1, x2, y2 = box
             m[int(y1):int(y2) + 1, int(x1):int(x2) + 1] = 1
             masks.append(m)
-        results['gt_masks'] = masks
+        results['gt_masks'] = BitmapMasks(masks, h, w) if masks \
+            else BitmapMasks([], h, w)
         results.setdefault('mask_fields', []).append('gt_masks')
         return results
 
@@ -262,8 +276,7 @@ class FilterAnnotations:
         results['gt_bboxes'] = boxes[keep]
         results['gt_labels'] = results['gt_labels'][keep]
         if 'gt_masks' in results:
-            results['gt_masks'] = [m for m, k in zip(results['gt_masks'],
-                                                     keep) if k]
+            results['gt_masks'] = results['gt_masks'][keep]
         return results
 
 
@@ -311,9 +324,8 @@ class RandomCrop:
             results['gt_bboxes'] = boxes[keep]
             results['gt_labels'] = results['gt_labels'][keep]
             if 'gt_masks' in results:
-                results['gt_masks'] = [
-                    m[y0:y0 + ch, x0:x0 + cw] for m, k in
-                    zip(results['gt_masks'], keep) if k]
+                results['gt_masks'] = results['gt_masks'][keep].crop(
+                    (x0, y0, x0 + cw, y0 + ch))
         return results
 
 

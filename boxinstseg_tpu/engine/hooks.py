@@ -176,6 +176,36 @@ class MemoryProfilerHook(Hook):
                 self.logger.info(f'{dev}: {used:.2f} GiB in use')
 
 
+class ProfilerHook(Hook):
+    """Capture a jax.profiler trace over a step window (reference:
+    mmdet/utils/profiling.py profile_time / mmcv ProfilerHook).
+    Config: custom_hooks = [dict(type='ProfilerHook', start=50, stop=55,
+    log_dir=...)]; trace opens in TensorBoard / Perfetto."""
+
+    def __init__(self, start: int = 50, stop: int = 55,
+                 log_dir: str = './profile', logger=None):
+        from ..utils.logging import get_root_logger
+        self.start = start
+        self.stop = stop
+        self.log_dir = log_dir
+        self.logger = logger or get_root_logger()
+        self._active = False
+
+    def after_step(self, i, state, logs):
+        import jax
+        if (i + 1) == self.start and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+            self.logger.info(f'profiler trace started -> {self.log_dir}')
+        elif (i + 1) == self.stop and self._active:
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready()
+                if hasattr(x, 'block_until_ready') else x, logs)
+            jax.profiler.stop_trace()
+            self._active = False
+            self.logger.info('profiler trace stopped')
+
+
 class WandbLoggerHook(Hook):
     """Logs scalars to wandb when available (reference:
     MMDetWandbHook, 586 LoC); silently no-ops otherwise."""

@@ -80,3 +80,19 @@ def aligned_iou(a: jnp.ndarray, b: jnp.ndarray, mode: str = 'iou',
         enclose = jnp.maximum(wh_e[..., 0] * wh_e[..., 1], eps)
         return iou - (enclose - union) / enclose
     raise ValueError(mode)
+
+
+def bbox_overlaps_np(a, b, eps: float = 1e-6):
+    """Numpy pairwise IoU for host-side analysis tools
+    (reference: mmdet/core/evaluation/bbox_overlaps.py)."""
+    import numpy as np
+    a = np.asarray(a, np.float64).reshape(-1, 4)
+    b = np.asarray(b, np.float64).reshape(-1, 4)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / np.maximum(union, eps)

@@ -11,15 +11,18 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 # D65/2deg reference white used by skimage's default rgb2lab.
 _XN, _YN, _ZN = 0.95047, 1.0, 1.08883
 
-_RGB2XYZ = jnp.array([
+# numpy at module scope: creating a jnp array at import time would
+# initialize the XLA backend before jax.distributed.initialize can run
+_RGB2XYZ = np.array([
     [0.412453, 0.357580, 0.180423],
     [0.212671, 0.715160, 0.072169],
     [0.019334, 0.119193, 0.950227],
-], dtype=jnp.float32)
+], dtype=np.float32)
 
 
 def srgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:

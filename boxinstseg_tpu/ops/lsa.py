@@ -16,7 +16,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(1e30)
+# plain python float: jnp.float32(...) at import time would create a device
+# array and initialize the XLA backend before jax.distributed.initialize
+_INF = 1e30
 
 
 def solve_lsa(cost: jnp.ndarray) -> jnp.ndarray:

@@ -1,5 +1,5 @@
-from .mesh import (batch_sharding, get_data_mesh, replicated_sharding,
-                   shard_batch)
+from .mesh import (batch_sharding, get_data_mesh, init_distributed,
+                   replicated_sharding, shard_batch)
 
-__all__ = ['batch_sharding', 'get_data_mesh', 'replicated_sharding',
-           'shard_batch']
+__all__ = ['batch_sharding', 'get_data_mesh', 'init_distributed',
+           'replicated_sharding', 'shard_batch']

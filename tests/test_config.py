@@ -110,3 +110,31 @@ def test_every_config_parses_and_builds():
         from boxinstseg_tpu.apis.train import resolve_intervals
         iv = resolve_intervals(cfg, iters_per_epoch=1000)
         assert iv['max_iters'] > 0, path
+
+
+def test_replace_cfg_vals(tmp_path):
+    """${key} interpolation (reference mmdet/utils/replace_cfg_vals.py)."""
+    from boxinstseg_tpu.config import replace_cfg_vals
+    f = _write(tmp_path, 'v.py', '''
+        base = dict(nc=20, name='voc')
+        model = dict(num_classes='${base.nc}',
+                     tag='ds_${base.name}_x')
+        pipeline = ['${base.name}', dict(k='${base.nc}')]
+    ''')
+    cfg = replace_cfg_vals(Config.fromfile(f))
+    assert cfg.model.num_classes == 20          # whole-string: typed value
+    assert cfg.model.tag == 'ds_voc_x'          # spliced: stringified
+    assert cfg.pipeline[0] == 'voc'
+    assert cfg.pipeline[1].k == 20
+
+
+def test_replace_cfg_vals_model_wrapper(tmp_path):
+    from boxinstseg_tpu.config import replace_cfg_vals
+    f = _write(tmp_path, 'w.py', '''
+        model = dict(type='A')
+        model_wrapper = dict(type='B', inner='${model.type}')
+    ''')
+    cfg = replace_cfg_vals(Config.fromfile(f))
+    assert cfg.model.type == 'B'
+    assert cfg.model.inner == 'A'
+    assert 'model_wrapper' not in cfg

@@ -135,3 +135,37 @@ def test_iter_based_runner_integration(tmp_path):
     # iter-based interval=2 -> checkpoints at 2 and 4 (epoch-based would
     # have multiplied by iters_per_epoch=8 and saved only at the end)
     assert steps == [2, 4]
+
+
+def test_paramwise_fns_box2mask_recipe():
+    """custom_keys lr_mult/decay_mult + norm_decay_mult (reference
+    Box2Mask AdamW recipe, box2mask_r50_lsj_8x2_50e_coco.py:131-148)."""
+    from boxinstseg_tpu.engine.optimizers import paramwise_fns
+    import numpy as np
+    cfg = _load('box2mask/box2mask_r50_lsj_8x2_50e_coco.py')
+    lr_mult, wd_mult = paramwise_fns(cfg.optimizer)
+    assert lr_mult('backbone_m/layer1_0/conv1/kernel') == 0.1
+    assert lr_mult('panoptic_head_m/decoder_layer_0/ffn/fc1/kernel') == 1.0
+    # embeddings: lr x1, decay 0
+    assert wd_mult('panoptic_head_m/query_embed', np.zeros((10, 32))) == 0.0
+    assert wd_mult('panoptic_head_m/level_embed', np.zeros((3, 32))) == 0.0
+    # norm_decay_mult=0.0
+    assert wd_mult('panoptic_head_m/post_norm/scale', np.zeros(32)) == 0.0
+    assert wd_mult('panoptic_head_m/cls_embed/kernel',
+                   np.zeros((32, 5))) == 1.0
+
+
+def test_layer_decay_constructor():
+    from boxinstseg_tpu.engine.optimizers import paramwise_fns
+    opt = dict(type='AdamW', lr=1e-4, weight_decay=0.05,
+               constructor='LayerDecayOptimizerConstructor',
+               paramwise_cfg=dict(num_layers=6, layer_decay_rate=0.5))
+    lr_mult, _ = paramwise_fns(opt)
+    # patch embed is deepest-decayed; later blocks decay less; head x1
+    m0 = lr_mult('backbone_m/patch_embed/kernel')
+    m3 = lr_mult('backbone_m/stage1_block0/attn/qkv/kernel')
+    mh = lr_mult('panoptic_head_m/cls_embed/kernel')
+    assert m0 == 0.5 ** 7
+    assert m3 == 0.5 ** (7 - 3)
+    assert mh == 1.0
+    assert m0 < m3 < mh

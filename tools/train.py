@@ -43,13 +43,19 @@ def pin_device(device: str):
 def main():
     args = parse_args()
     pin_device(args.device)
+    # multi-host bring-up (reference: tools/dist_train.sh launcher); no-op
+    # unless JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    # are set (or the TPU pod runtime provides them)
+    from boxinstseg_tpu.parallel import init_distributed
+    init_distributed()
     from boxinstseg_tpu.config import Config
     from boxinstseg_tpu.registry import build_detector, build_dataset
     from boxinstseg_tpu.apis.train import train_detector
     from boxinstseg_tpu.utils.logging import get_root_logger
     from boxinstseg_tpu.utils.env import collect_env
 
-    cfg = Config.fromfile(args.config)
+    from boxinstseg_tpu.config import replace_cfg_vals
+    cfg = replace_cfg_vals(Config.fromfile(args.config))
     overrides = {}
     for kv in args.cfg_options:
         k, v = kv.split('=', 1)
