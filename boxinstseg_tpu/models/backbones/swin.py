@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..layers import Dense, compute_dtype
+from ..layers import Dense, compute_dtype, LayerNorm
 import numpy as np
 
 from ...registry import BACKBONES
@@ -113,7 +113,7 @@ class SwinBlock(nn.Module):
         shift = self.shift if ws == self.window_size else 0
 
         shortcut = x
-        x = nn.LayerNorm(name='norm1')(x)
+        x = LayerNorm(name='norm1')(x)
         ph = (ws - h % ws) % ws
         pw = (ws - w % ws) % ws
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
@@ -132,7 +132,7 @@ class SwinBlock(nn.Module):
         x = x[:, :h, :w]
         x = shortcut + self._drop_path(x, train)
 
-        y = nn.LayerNorm(name='norm2')(x)
+        y = LayerNorm(name='norm2')(x)
         y = Dense(int(self.dim * self.mlp_ratio), name='mlp_fc1')(y)
         y = jax.nn.gelu(y, approximate=False)
         y = Dense(self.dim, name='mlp_fc2')(y)
@@ -179,7 +179,7 @@ class SwinTransformer(nn.Module):
                     strides=(self.patch_size, self.patch_size),
                     name='patch_embed')(x)
         if self.patch_norm:
-            x = nn.LayerNorm(name='patch_norm')(x)
+            x = LayerNorm(name='patch_norm')(x)
 
         total_blocks = sum(self.depths)
         dprs = np.linspace(0, self.drop_path_rate, total_blocks)
@@ -199,7 +199,7 @@ class SwinTransformer(nn.Module):
             if si <= self.frozen_stages - 1:
                 x = jax.lax.stop_gradient(x)
             if si in self.out_indices:
-                out = nn.LayerNorm(name=f'out_norm{si}')(x)
+                out = LayerNorm(name=f'out_norm{si}')(x)
                 outs.append(out)
             if si < len(self.depths) - 1:
                 # patch merging: 2x2 concat -> LN -> Dense(2C)
@@ -209,7 +209,7 @@ class SwinTransformer(nn.Module):
                 x = jnp.concatenate([
                     x[:, 0::2, 0::2], x[:, 1::2, 0::2],
                     x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
-                x = nn.LayerNorm(name=f'merge_norm{si}')(x)
+                x = LayerNorm(name=f'merge_norm{si}')(x)
                 x = Dense(2 * c, use_bias=False,
                              name=f'merge_reduction{si}')(x)
                 dim = 2 * c

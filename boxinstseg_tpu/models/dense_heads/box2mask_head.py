@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
-from ..layers import Conv2d, Dense
+from ..layers import Conv2d, Dense, LayerNorm
 from ..losses.levelset_loss import LocalConsistencyModule, region_levelset
 from ..plugins.msdeformattn_pixel_decoder import MSDeformAttnPixelDecoder
 from ..utils.positional_encoding import SinePositionalEncoding
@@ -112,7 +112,7 @@ class Box2MaskHead(nn.Module):
             dec_pos.append(pe(b, h, w).reshape(b, h * w, c))
             dec_hw.append((h, w))
 
-        post_norm = nn.LayerNorm(name='post_norm')
+        post_norm = LayerNorm(name='post_norm')
         cls_embed = Dense(self.num_classes + 1, name='cls_embed')
         mask_mlp = [Dense(c, name=f'mask_embed_{i}') for i in range(2)]
         mask_out = Dense(self.out_channels, name='mask_embed_out')

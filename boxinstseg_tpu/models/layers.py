@@ -119,10 +119,9 @@ def make_norm(norm_cfg, features: int, axis_name: Optional[str] = None):
     if t == 'FrozenBN':
         return FrozenBatchNorm(features=features)
     if t == 'GN':
-        return nn.GroupNorm(num_groups=norm_cfg.get('num_groups', 32),
-                            dtype=compute_dtype())
+        return GroupNorm(norm_cfg.get('num_groups', 32))
     if t == 'LN':
-        return nn.LayerNorm(dtype=compute_dtype())
+        return LayerNorm()
     raise ValueError(f'unknown norm type {t}')
 
 
@@ -162,6 +161,18 @@ def Conv2d(features: int,
         param_dtype=jnp.float32,
         name=name,
     )
+
+
+def LayerNorm(name=None):
+    """LayerNorm with torch's epsilon (1e-5; flax defaults to 1e-6 —
+    the difference is visible on small feature maps) and policy dtype."""
+    return nn.LayerNorm(epsilon=1e-5, dtype=compute_dtype(), name=name)
+
+
+def GroupNorm(num_groups: int = 32, name=None):
+    """GroupNorm with torch's epsilon (1e-5) and policy dtype."""
+    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5,
+                        dtype=compute_dtype(), name=name)
 
 
 def Dense(features: int, use_bias: bool = True,
@@ -211,11 +222,10 @@ class ConvModule(nn.Module):
             elif t == 'FrozenBN':
                 x = FrozenBatchNorm(self.features, name='bn')(x)
             elif t == 'GN':
-                x = nn.GroupNorm(
-                    num_groups=self.norm_cfg.get('num_groups', 32),
-                    dtype=compute_dtype(), name='gn')(x)
+                x = GroupNorm(self.norm_cfg.get('num_groups', 32),
+                              name='gn')(x)
             elif t == 'LN':
-                x = nn.LayerNorm(dtype=compute_dtype(), name='ln')(x)
+                x = LayerNorm(name='ln')(x)
             else:
                 raise ValueError(t)
         if self.act == 'relu':

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
-from ..layers import Dense
+from ..layers import Dense, LayerNorm
 
 
 class MultiheadAttention(nn.Module):
@@ -184,9 +184,9 @@ class DetrTransformerEncoderLayer(nn.Module):
             self.embed_dims, self.num_heads, self.num_levels,
             self.num_points, name='attn')(
             x + pos, x, spatial_shapes, reference_points)
-        x = nn.LayerNorm(name='norm1')(x + attn)
+        x = LayerNorm(name='norm1')(x + attn)
         x = FFN(self.embed_dims, self.feedforward_channels, name='ffn')(x)
-        return nn.LayerNorm(name='norm2')(x)
+        return LayerNorm(name='norm2')(x)
 
 
 class DetrTransformerDecoderLayer(nn.Module):
@@ -204,11 +204,11 @@ class DetrTransformerDecoderLayer(nn.Module):
                                 name='cross_attn')(
             query + query_pos, key + key_pos, value,
             attn_mask=cross_attn_mask)
-        query = nn.LayerNorm(name='norm1')(query + ca)
+        query = LayerNorm(name='norm1')(query + ca)
         sa = MultiheadAttention(self.embed_dims, self.num_heads,
                                 name='self_attn')(
             query + query_pos, query + query_pos, query)
-        query = nn.LayerNorm(name='norm2')(query + sa)
+        query = LayerNorm(name='norm2')(query + sa)
         query = FFN(self.embed_dims, self.feedforward_channels,
                     name='ffn')(query)
-        return nn.LayerNorm(name='norm3')(query)
+        return LayerNorm(name='norm3')(query)
