@@ -28,6 +28,16 @@ class _FakeRegistry:
         return deco
 
 
+class _FakeMMCV:
+    """@mmcv.jit(...) decorators become no-ops."""
+
+    @staticmethod
+    def jit(*args, **kwargs):
+        def deco(fn):
+            return fn
+        return deco
+
+
 def ref_available() -> bool:
     return os.path.isdir(REF_ROOT)
 
@@ -54,7 +64,7 @@ def load_ref(relpath: str, names, extra_ns=None) -> dict:
     if missing:
         raise KeyError(f'{missing} not found at top level of {relpath}')
     mod = ast.Module(body=body, type_ignores=[])
-    ns = dict(torch=torch, nn=nn, F=F, np=np,
+    ns = dict(torch=torch, nn=nn, F=F, np=np, mmcv=_FakeMMCV(),
               HEADS=_FakeRegistry(), LOSSES=_FakeRegistry(),
               MATCH_COST=_FakeRegistry(), BBOX_ASSIGNERS=_FakeRegistry())
     ns.update(extra_ns or {})
