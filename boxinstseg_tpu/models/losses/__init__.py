@@ -6,6 +6,8 @@ from .projection import compute_project_term, BoxProjectionLoss
 from .levelset_loss import (LevelsetLoss, LocalConsistencyModule,
                             region_levelset, length_regularization,
                             local_consistency_loss)
+from .misc_losses import (GaussianFocalLoss, L1Loss, MSELoss, SmoothL1Loss,
+                          VarifocalLoss)
 
 __all__ = [
     'FocalLoss', 'sigmoid_focal_loss', 'IoULoss', 'GIoULoss',
@@ -13,4 +15,6 @@ __all__ = [
     'dice_coefficient', 'compute_project_term', 'BoxProjectionLoss',
     'LevelsetLoss', 'LocalConsistencyModule', 'region_levelset',
     'length_regularization', 'local_consistency_loss',
+    'L1Loss', 'SmoothL1Loss', 'MSELoss', 'GaussianFocalLoss',
+    'VarifocalLoss',
 ]

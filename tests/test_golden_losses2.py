@@ -141,3 +141,52 @@ def test_golden_correspondence_solver(rng):
     want_pm = to_np(solver.pass_message(to_torch(t0).clone(), (fh, fw)))
     got_pm = np.asarray(pass_message(jnp.asarray(t0), (fh, fw)))
     np.testing.assert_allclose(got_pm, want_pm, rtol=1e-5, atol=1e-6)
+
+
+def test_golden_aux_losses(rng):
+    """Auxiliary loss zoo vs the reference formulas (smooth_l1_loss.py,
+    mse_loss.py, gaussian_focal_loss.py, varifocal_loss.py)."""
+    from boxinstseg_tpu.models.losses import (GaussianFocalLoss, L1Loss,
+                                              MSELoss, SmoothL1Loss,
+                                              VarifocalLoss)
+    utils_ns = load_ref(UTILS, ['weight_reduce_loss', 'reduce_loss'])
+    base = {**utils_ns, 'weighted_loss': lambda f: f}
+    sl1 = load_ref('mmdet/models/losses/smooth_l1_loss.py',
+                   ['smooth_l1_loss', 'l1_loss'], extra_ns=base)
+    mse = load_ref('mmdet/models/losses/mse_loss.py', ['mse_loss'],
+                   extra_ns=base)
+    gf = load_ref('mmdet/models/losses/gaussian_focal_loss.py',
+                  ['gaussian_focal_loss'], extra_ns=base)
+    vf = load_ref('mmdet/models/losses/varifocal_loss.py',
+                  ['varifocal_loss'], extra_ns=base)
+
+    pred = rng.randn(30, 4).astype(np.float32)
+    tgt = rng.randn(30, 4).astype(np.float32)
+    np.testing.assert_allclose(
+        float(SmoothL1Loss(beta=0.5)(pred, tgt)),
+        float(sl1['smooth_l1_loss'](to_torch(pred), to_torch(tgt),
+                                    beta=0.5).mean()), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(L1Loss()(pred, tgt)),
+        float(sl1['l1_loss'](to_torch(pred), to_torch(tgt)).mean()),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(MSELoss()(pred, tgt)),
+        float(mse['mse_loss'](to_torch(pred), to_torch(tgt)).mean()),
+        rtol=1e-5)
+
+    heat = rng.rand(20, 6).astype(np.float32)
+    gtgt = rng.rand(20, 6).astype(np.float32)
+    gtgt[rng.rand(20, 6) > 0.8] = 1.0
+    np.testing.assert_allclose(
+        float(GaussianFocalLoss()(heat, gtgt)),
+        float(gf['gaussian_focal_loss'](to_torch(heat),
+                                        to_torch(gtgt)).mean()),
+        rtol=1e-4)
+
+    logits = rng.randn(20, 6).astype(np.float32)
+    vtgt = (rng.rand(20, 6) * (rng.rand(20, 6) > 0.7)).astype(np.float32)
+    np.testing.assert_allclose(
+        float(VarifocalLoss()(logits, vtgt)),
+        float(vf['varifocal_loss'](to_torch(logits), to_torch(vtgt),
+                                   reduction='mean')), rtol=1e-4)

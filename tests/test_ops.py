@@ -167,3 +167,24 @@ def test_distance2bbox_roundtrip(rng):
     from boxinstseg_tpu.ops import bbox2distance
     back = bbox2distance(pts, boxes)
     np.testing.assert_allclose(np.asarray(back), np.asarray(dist), atol=1e-5)
+
+
+def test_pafpn_and_channelmapper_shapes(rng):
+    from boxinstseg_tpu.models.necks import PAFPN, ChannelMapper
+    import jax
+    feats = tuple(jnp.asarray(rng.randn(1, 32 // s, 40 // s, c)
+                              .astype(np.float32))
+                  for s, c in [(1, 16), (2, 32), (4, 64)])
+    neck = PAFPN(in_channels=[16, 32, 64], out_channels=24, num_outs=5,
+                 add_extra_convs='on_output')
+    vs = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(vs, feats)
+    assert len(outs) == 5
+    assert outs[0].shape == (1, 32, 40, 24)
+    assert outs[4].shape[-1] == 24
+
+    cm = ChannelMapper(in_channels=[16, 32, 64], out_channels=24,
+                       num_outs=4)
+    vs = cm.init(jax.random.PRNGKey(0), feats)
+    outs = cm.apply(vs, feats)
+    assert len(outs) == 4 and all(o.shape[-1] == 24 for o in outs)
