@@ -102,9 +102,34 @@ def poly_to_mask(polygons: List[List[float]], h: int, w: int) -> np.ndarray:
 
 
 def rle_decode(rle: dict) -> np.ndarray:
-    """Decode uncompressed or compressed-string COCO RLE to (h, w) uint8."""
+    """Decode uncompressed or compressed-string COCO RLE to (h, w) uint8.
+
+    Uses the native C++ codec (boxinstseg_tpu/native/rle.cpp, the
+    pycocotools maskApi counterpart) when available; numpy/python
+    fallback otherwise."""
+    import ctypes
+    from ..native import rle_lib
     h, w = rle['size']
     counts = rle['counts']
+    lib = rle_lib()
+    if lib is not None:
+        if isinstance(counts, (bytes, str)):
+            s = counts if isinstance(counts, bytes) else counts.encode()
+            buf = np.empty(len(s) + 4, np.uint32)
+            n = lib.rle_string_decode(
+                s, len(s), buf.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint32)), buf.size)
+            assert n >= 0
+            counts_arr = buf[:n]
+        else:
+            counts_arr = np.asarray(counts, np.uint32)
+        out = np.empty((h, w), np.uint8)
+        lib.rle_decode_counts(
+            np.ascontiguousarray(counts_arr).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint32)),
+            len(counts_arr), h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out
     if isinstance(counts, (bytes, str)):
         counts = _decode_rle_string(
             counts if isinstance(counts, bytes) else counts.encode())
@@ -120,8 +145,26 @@ def rle_decode(rle: dict) -> np.ndarray:
 
 
 def rle_encode(mask: np.ndarray) -> dict:
-    """Encode a binary (h, w) mask to compressed COCO RLE."""
+    """Encode a binary (h, w) mask to compressed COCO RLE (native C++ when
+    available)."""
+    import ctypes
+    from ..native import rle_lib
     h, w = mask.shape
+    lib = rle_lib()
+    if lib is not None:
+        m = np.ascontiguousarray(mask, np.uint8)
+        counts = np.empty(h * w + 2, np.uint32)
+        n = lib.rle_encode_mask(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            counts.size)
+        assert n >= 0
+        out = ctypes.create_string_buffer(6 * n + 16)
+        m_len = lib.rle_string_encode(
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
+            out, len(out))
+        assert m_len >= 0
+        return {'size': [h, w], 'counts': out.raw[:m_len].decode('ascii')}
     flat = np.asfortranarray(mask).T.reshape(-1)  # column-major
     # run lengths of alternating 0/1 starting with 0s
     diffs = np.nonzero(flat[1:] != flat[:-1])[0] + 1
