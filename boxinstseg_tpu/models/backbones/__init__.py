@@ -2,3 +2,7 @@ from .resnet import ResNet, ResNeXt
 from .swin import SwinTransformer
 
 __all__ = ['ResNet', 'ResNeXt', 'SwinTransformer']
+from .pvt import (PyramidVisionTransformer,
+                  PyramidVisionTransformerV2)
+from .resnest import ResNeSt
+from .detectors_resnet import DetectoRS_ResNet

@@ -1,4 +1,4 @@
 from .fpn import FPN
-from .pafpn import PAFPN, ChannelMapper
+from .pafpn import PAFPN, ChannelMapper, FPN_CARAFE
 
-__all__ = ['FPN', 'PAFPN', 'ChannelMapper']
+__all__ = ['FPN', 'PAFPN', 'ChannelMapper', 'FPN_CARAFE']

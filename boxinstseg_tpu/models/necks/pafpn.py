@@ -102,3 +102,52 @@ class ChannelMapper(nn.Module):
                              name=f'extra_conv_{k}')(src, train=train)
             outs.append(src)
         return tuple(outs)
+
+
+@NECKS.register_module()
+class FPN_CARAFE(nn.Module):
+    """FPN with CARAFE content-aware top-down upsampling (reference:
+    mmdet/models/necks/fpn_carafe.py; the CUDA CARAFEPack becomes the XLA
+    formulation in ops/carafe.py)."""
+    in_channels: Sequence[int] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    end_level: int = -1
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    order: tuple = ('conv', 'norm', 'act')
+    upsample_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        from ...ops.carafe import CARAFEPack
+        up = dict(self.upsample_cfg or dict(
+            type='carafe', up_kernel=5, up_group=1, encoder_kernel=3,
+            encoder_dilation=1))
+        end = len(self.in_channels) if self.end_level in (-1, None) \
+            else self.end_level + 1
+        used = list(range(self.start_level, end))
+        n = len(used)
+
+        laterals = [
+            Conv2d(self.out_channels, 1, 1, 0, name=f'lateral_{i}')(
+                inputs[idx]) for i, idx in enumerate(used)
+        ]
+        for i in range(n - 1, 0, -1):
+            upsampled = CARAFEPack(
+                channels=self.out_channels, scale_factor=2,
+                up_kernel=up.get('up_kernel', 5),
+                encoder_kernel=up.get('encoder_kernel', 3),
+                encoder_dilation=up.get('encoder_dilation', 1),
+                name=f'upsample_{i}')(laterals[i])
+            # lateral maps may be odd-sized; crop the 2x upsample
+            th, tw = laterals[i - 1].shape[1:3]
+            laterals[i - 1] = laterals[i - 1] + upsampled[:, :th, :tw]
+
+        outs = [Conv2d(self.out_channels, 3, 1, 1, name=f'fpn_conv_{i}')(
+            laterals[i]) for i in range(n)]
+        for _ in range(self.num_outs - n):
+            outs.append(max_pool_torch(outs[-1], 1, 2, 0))
+        return tuple(outs)

@@ -273,3 +273,58 @@ def test_golden_matrix_nms(rng):
         keep = to_np(want_keep)
         np.testing.assert_allclose(got[keep], to_np(want_scores),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_golden_centerness_target(rng):
+    from boxinstseg_tpu.core.targets.fcos import centerness_target
+    single = load_ref_method(CONDINST, 'CondInstBoxHead',
+                             'centerness_target')
+    bt = np.abs(rng.randn(30, 4).astype(np.float32)) * 20 + 0.1
+    want = to_np(single(None, to_torch(bt)))
+    got = np.asarray(centerness_target(jnp.asarray(bt)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_golden_segm_head_loss(rng):
+    """CondInstSegmHead: min-area semantic targets + focal loss vs the
+    reference (get_targets condinst_head.py:940-968 + FocalLoss with
+    avg_factor=num_pos). Masks are 4-aligned so the stride-4 subsampled
+    representation is lossless."""
+    import torch
+    from boxinstseg_tpu.models.dense_heads.condinst_head import \
+        CondInstSegmHead
+
+    num_classes = 4
+    get_targets = load_ref_method(CONDINST, 'CondInstSegmHead',
+                                  'get_targets')
+    focal = load_ref(
+        'mmdet/models/losses/focal_loss.py', ['py_sigmoid_focal_loss'],
+        extra_ns=load_ref('mmdet/models/losses/utils.py',
+                          ['weight_reduce_loss', 'reduce_loss']))[
+        'py_sigmoid_focal_loss']
+
+    B, G, H, W = 2, 3, 64, 96
+    grid = (rng.rand(B, G, H // 4, W // 4) > 0.82).astype(np.uint8)
+    masks_full = np.kron(grid, np.ones((1, 1, 4, 4), np.uint8))
+    labels = rng.randint(0, num_classes, (B, G)).astype(np.int32)
+    pred = rng.randn(B, H // 8, W // 8, num_classes).astype(np.float32)
+
+    self = types.SimpleNamespace(num_classes=num_classes, in_stride=8)
+    want_t = get_targets(self,
+                         [to_torch(masks_full[i]) for i in range(B)],
+                         [to_torch(labels[i].astype(np.int64))
+                          for i in range(B)])
+    tgt = to_np(want_t).reshape(-1)
+    num_pos = max(float((tgt != num_classes).sum()), 1.0)
+    onehot = np.zeros((tgt.size, num_classes), np.float32)
+    fg = tgt < num_classes
+    onehot[np.nonzero(fg)[0], tgt[fg]] = 1
+    pred_flat = pred.reshape(-1, num_classes)
+    want = float(focal(to_torch(pred_flat), to_torch(onehot), gamma=2.0,
+                       alpha=0.25, avg_factor=num_pos))
+
+    head = CondInstSegmHead(num_classes=num_classes, in_stride=8)
+    got = float(head.loss(jnp.asarray(pred), jnp.asarray(grid),
+                          jnp.asarray(labels), jnp.ones((B, G), bool),
+                          mask_stride=4)['loss_segm'])
+    np.testing.assert_allclose(got, want, rtol=1e-4)

@@ -188,3 +188,76 @@ def test_pafpn_and_channelmapper_shapes(rng):
     vs = cm.init(jax.random.PRNGKey(0), feats)
     outs = cm.apply(vs, feats)
     assert len(outs) == 4 and all(o.shape[-1] == 24 for o in outs)
+
+
+def test_carafe_reassemble_matches_naive(rng):
+    from boxinstseg_tpu.ops.carafe import carafe_reassemble
+    b, h, w, c, s, k = 1, 5, 6, 3, 2, 3
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    kern = rng.rand(b, h * s, w * s, k * k).astype(np.float32)
+    kern /= kern.sum(-1, keepdims=True)
+    got = np.asarray(carafe_reassemble(jnp.asarray(x), jnp.asarray(kern),
+                                       s, k))
+    want = np.zeros((b, h * s, w * s, c), np.float32)
+    half = k // 2
+    for oy in range(h * s):
+        for ox in range(w * s):
+            sy, sx = oy // s, ox // s
+            idx = 0
+            for dy in range(-half, half + 1):
+                for dx in range(-half, half + 1):
+                    yy, xx = sy + dy, sx + dx
+                    if 0 <= yy < h and 0 <= xx < w:
+                        want[0, oy, ox] += kern[0, oy, ox, idx] * x[0, yy, xx]
+                    idx += 1
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fpn_carafe_shapes(rng):
+    from boxinstseg_tpu.models.necks import FPN_CARAFE
+    import jax
+    feats = tuple(jnp.asarray(rng.randn(1, 32 // s, 40 // s, c)
+                              .astype(np.float32))
+                  for s, c in [(1, 16), (2, 32), (4, 64)])
+    neck = FPN_CARAFE(in_channels=[16, 32, 64], out_channels=24, num_outs=4)
+    vs = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(vs, feats)
+    assert len(outs) == 4 and outs[0].shape == (1, 32, 40, 24)
+
+
+def test_pvt_backbone_shapes(rng):
+    from boxinstseg_tpu.models.backbones.pvt import (
+        PyramidVisionTransformer, PyramidVisionTransformerV2)
+    import jax
+    x = jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32))
+    for cls in (PyramidVisionTransformer, PyramidVisionTransformerV2):
+        m = cls(embed_dims=(16, 32, 48, 64), num_layers=(1, 1, 1, 1),
+                num_heads=(1, 2, 3, 4), mlp_ratios=(2, 2, 2, 2))
+        vs = m.init(jax.random.PRNGKey(0), x)
+        outs = m.apply(vs, x)
+        assert len(outs) == 4
+        assert outs[0].shape[1:3] == (16, 24)    # stride 4
+        assert outs[3].shape[-1] == 64
+
+
+def test_resnest_backbone_shapes(rng):
+    from boxinstseg_tpu.models.backbones.resnest import ResNeSt
+    import jax
+    x = jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32))
+    m = ResNeSt(depth=50, out_indices=(0, 1, 2, 3))
+    vs = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(vs, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+    assert outs[0].shape[1:3] == (16, 24)
+
+
+def test_detectors_resnet_shapes(rng):
+    from boxinstseg_tpu.models.backbones.detectors_resnet import \
+        DetectoRS_ResNet
+    import jax
+    x = jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32))
+    m = DetectoRS_ResNet(depth=50, out_indices=(0, 1, 2, 3),
+                         rfp_inplanes=None)
+    vs = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(vs, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
