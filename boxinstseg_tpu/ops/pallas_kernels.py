@@ -29,8 +29,8 @@ from .color import neighbor_offsets
 from .pairwise import boxinst_pairwise_loss
 
 
-def _pairwise_block_kernel(logits_ref, sim_ref, mask_ref, num_ref, den_ref,
-                           *, offsets, thresh):
+def _pairwise_block_kernel(logits_ref, gate_ref, mask_ref, num_ref, den_ref,
+                           *, offsets):
     """One (K_tile, H, W) instance block against the image's (8, H, W)
     color-similarity gates."""
     import jax.nn as jnn
@@ -57,7 +57,7 @@ def _pairwise_block_kernel(logits_ref, sim_ref, mask_ref, num_ref, den_ref,
         nb_fg = shift(log_fg)
         nb_bg = shift(log_bg)
         log_same = jnp.logaddexp(log_fg + nb_fg, log_bg + nb_bg)
-        gate = (sim_ref[0, k] >= thresh).astype(x.dtype)  # (H, W)
+        gate = gate_ref[0, k].astype(x.dtype)             # (H, W)
         wgt = base_w * gate[None]
         num = num + jnp.sum(-log_same * wgt)
         den = den + jnp.sum(wgt)
@@ -75,7 +75,7 @@ def pairwise_loss_forward_pallas(mask_logits: jnp.ndarray,
                                  color_thresh: float = 0.3,
                                  kernel_size: int = 3,
                                  dilation: int = 2,
-                                 k_tile: int = 4,
+                                 k_tile: int = 1,
                                  interpret: bool = False
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused partial-sum forward. Shapes as in ``boxinst_pairwise_loss``:
@@ -89,9 +89,9 @@ def pairwise_loss_forward_pallas(mask_logits: jnp.ndarray,
     offsets = neighbor_offsets(kernel_size, dilation)
     masked = bitmasks * valid.astype(bitmasks.dtype)[..., None, None]
 
+    gates = (color_sim >= color_thresh).astype(jnp.bfloat16)
     grid = (b, k // k_tile)
-    kernel = functools.partial(_pairwise_block_kernel, offsets=offsets,
-                               thresh=color_thresh)
+    kernel = functools.partial(_pairwise_block_kernel, offsets=offsets)
     # scalar per-block partials: whole (grid) arrays in SMEM, each grid
     # step writes its own (i, j) cell (tiny, disjoint writes)
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -112,8 +112,71 @@ def pairwise_loss_forward_pallas(mask_logits: jnp.ndarray,
             jax.ShapeDtypeStruct(grid, jnp.float32),
         ),
         interpret=interpret,
-    )(mask_logits, color_sim, masked)
+    )(mask_logits, gates, masked)
     return num.sum(), den.sum()
+
+
+def _pairwise_grad_kernel(logits_ref, gate_ref, mask_ref, grad_ref,
+                          *, offsets):
+    """Fused analytic gradient: ONE VMEM pass over the block computes the
+    full 8-offset gradient (see ops/pairwise.py _pairwise_bwd for the math;
+    this is the Pallas dual of the reference's pairwise_nlog_backward,
+    pairwise.cu:52-66 — center + neighbor contributions, zero-padded)."""
+    import jax.nn as jnn
+
+    x = logits_ref[0]                         # (kt, H, W)
+    log_fg = jnn.log_sigmoid(x)
+    log_bg = jnn.log_sigmoid(-x)
+    s = jnn.sigmoid(x)
+    base_w = mask_ref[0]
+    h, w = x.shape[-2], x.shape[-1]
+
+    def shift(a, dy, dx):
+        pad = [(0, 0), (max(-dy, 0), max(dy, 0)),
+               (max(-dx, 0), max(dx, 0))]
+        ap = jnp.pad(a, pad)
+        return ap[:, max(dy, 0):max(dy, 0) + h,
+                  max(dx, 0):max(dx, 0) + w]
+
+    grad = jnp.zeros_like(x)
+    for k, (dy, dx) in enumerate(offsets):
+        nb_fg = shift(log_fg, dy, dx)
+        nb_bg = shift(log_bg, dy, dx)
+        a = log_fg + nb_fg
+        m = jnp.logaddexp(a, log_bg + nb_bg)
+        p_a = jnp.exp(a - m)
+        gate = gate_ref[0, k].astype(x.dtype)
+        wgt = base_w * gate[None]
+        grad = grad + wgt * (s - p_a)
+        nb_s = shift(s, dy, dx)
+        grad = grad + shift(wgt * (nb_s - p_a), -dy, -dx)
+    grad_ref[0] = grad
+
+
+def pairwise_grad_pallas(mask_logits, color_sim, bitmasks, valid,
+                         color_thresh=0.3, kernel_size=3, dilation=2,
+                         k_tile=1, interpret=False):
+    """Unscaled gradient (caller multiplies by g / max(den, 1))."""
+    from jax.experimental import pallas as pl
+
+    b, k, h, w = mask_logits.shape
+    assert k % k_tile == 0, (k, k_tile)
+    offsets = neighbor_offsets(kernel_size, dilation)
+    masked = bitmasks * valid.astype(bitmasks.dtype)[..., None, None]
+    gates = (color_sim >= color_thresh).astype(jnp.bfloat16)
+    kernel = functools.partial(_pairwise_grad_kernel, offsets=offsets)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, k // k_tile),
+        in_specs=[
+            pl.BlockSpec((1, k_tile, h, w), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, len(offsets), h, w), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k_tile, h, w), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k_tile, h, w), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, k, h, w), mask_logits.dtype),
+        interpret=interpret,
+    )(mask_logits, gates, masked)
 
 
 @functools.partial(jax.custom_vjp,
@@ -122,9 +185,9 @@ def boxinst_pairwise_loss_pallas(mask_logits, color_sim, bitmasks, valid,
                                  color_thresh: float = 0.3,
                                  kernel_size: int = 3, dilation: int = 2,
                                  interpret: bool = False):
-    """Drop-in replacement for ``boxinst_pairwise_loss`` with the fused
-    Pallas forward; the backward recomputes through the XLA formulation
-    (exact same math)."""
+    """Drop-in replacement for ``boxinst_pairwise_loss`` with fused Pallas
+    forward AND analytic backward: each direction is one VMEM pass over
+    the instance blocks instead of 8 per-offset HBM traversals."""
     num, den = pairwise_loss_forward_pallas(
         mask_logits, color_sim, bitmasks, valid, color_thresh,
         kernel_size, dilation, interpret=interpret)
@@ -133,20 +196,19 @@ def boxinst_pairwise_loss_pallas(mask_logits, color_sim, bitmasks, valid,
 
 def _fwd(mask_logits, color_sim, bitmasks, valid, color_thresh,
          kernel_size, dilation, interpret):
-    out = boxinst_pairwise_loss_pallas(
+    num, den = pairwise_loss_forward_pallas(
         mask_logits, color_sim, bitmasks, valid, color_thresh,
-        kernel_size, dilation, interpret)
-    return out, (mask_logits, color_sim, bitmasks, valid)
+        kernel_size, dilation, interpret=interpret)
+    return num / jnp.maximum(den, 1.0), \
+        (mask_logits, color_sim, bitmasks, valid, den)
 
 
 def _bwd(color_thresh, kernel_size, dilation, interpret, res, g):
-    mask_logits, color_sim, bitmasks, valid = res
-    _, vjp = jax.vjp(
-        lambda x: boxinst_pairwise_loss(
-            x, color_sim, bitmasks, valid, color_thresh, kernel_size,
-            dilation), mask_logits)
-    (dx,) = vjp(g)
-    return dx, None, None, None
+    mask_logits, color_sim, bitmasks, valid, den = res
+    grad = pairwise_grad_pallas(mask_logits, color_sim, bitmasks, valid,
+                                color_thresh, kernel_size, dilation,
+                                interpret=interpret)
+    return grad * (g / jnp.maximum(den, 1.0)), None, None, None
 
 
 boxinst_pairwise_loss_pallas.defvjp(_fwd, _bwd)

@@ -35,3 +35,28 @@ def test_pallas_grad_matches_xla(rng):
         x, sim, masks, valid, 0.3, 3, 2, True))(logits)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_analytic_pairwise_vjp_matches_autodiff(rng):
+    """boxinst_pairwise_loss has a hand-derived backward (the XLA dual of
+    pairwise.cu:52-66); it must equal autodiff through the formula."""
+    import jax
+    from boxinstseg_tpu.ops.pairwise import (_pairwise_num_den,
+                                             boxinst_pairwise_loss)
+    B, K, H, W = 2, 4, 18, 22
+    logits = jnp.asarray(rng.randn(B, K, H, W).astype(np.float32) * 2)
+    sim = jnp.asarray(rng.rand(B, 8, H, W).astype(np.float32))
+    masks = jnp.asarray((rng.rand(B, K, H, W) > 0.4).astype(np.float32))
+    valid = jnp.asarray(rng.rand(B, K) > 0.3)
+
+    def plain(x):
+        num, den = _pairwise_num_den(x, sim, masks, valid, 0.3, 3, 2)
+        return num / jnp.maximum(den, 1.0)
+
+    v1, g1 = jax.value_and_grad(plain)(logits)
+    v2, g2 = jax.value_and_grad(
+        lambda x: boxinst_pairwise_loss(x, sim, masks, valid, 0.3, 3, 2))(
+        logits)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
