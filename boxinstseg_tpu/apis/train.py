@@ -194,7 +194,8 @@ def train_detector(model, dataset, cfg: Config,
     # with a cross-process barrier, so a rank-gated save would deadlock
     hooks = build_hooks(model, cfg, iv, ckpt_dir, logger=logger,
                         global_batch=global_batch, lr_fn=sched,
-                        validate=validate, val_dataset=val_dataset)
+                        validate=validate, val_dataset=val_dataset,
+                        classes=getattr(dataset, 'CLASSES', None))
     if proc_id != 0:
         from ..engine.hooks import CheckpointHook
         hooks = [h for h in hooks if isinstance(h, CheckpointHook)]
@@ -211,7 +212,8 @@ def train_detector(model, dataset, cfg: Config,
 
 def build_hooks(model, cfg: Config, iv: Dict[str, Any], ckpt_dir: str,
                 logger=None, global_batch: int = 1, lr_fn=None,
-                validate: bool = False, val_dataset=None) -> list:
+                validate: bool = False, val_dataset=None,
+                classes=None) -> list:
     """Assemble the hook list from the config, mirroring the reference
     runner's hook registration (mmdet/apis/train.py:164-231): logger hooks
     from log_config, checkpoint, eval, then custom_hooks."""
@@ -227,9 +229,13 @@ def build_hooks(model, cfg: Config, iv: Dict[str, Any], ckpt_dir: str,
         if h.get('type') in ('MMDetWandbHook', 'WandbLoggerHook'):
             hooks.append(WandbLoggerHook(h.get('interval', log_interval),
                                          h.get('init_kwargs')))
+    from .. import __version__
+    meta = dict(version=__version__, seed=cfg.get('seed'),
+                exp_name=os.path.basename(cfg.filename or ''),
+                CLASSES=list(classes or cfg.get('classes') or []))
     hooks.append(CheckpointHook(ckpt_dir, iv['ckpt_interval_iters'],
                                 iv['ckpt_max_keep'], iv['ckpt_save_last'],
-                                iv['max_iters'], logger))
+                                iv['max_iters'], logger, meta=meta))
     if validate and val_dataset is not None:
         hooks.append(EvalHook(model, val_dataset, cfg,
                               iv['eval_interval_iters'], iv['eval_metrics'],

@@ -19,11 +19,18 @@ def _manager(ckpt_dir: str, max_to_keep: Optional[int] = 3
 
 
 def save_checkpoint(ckpt_dir: str, state: Any, step: int,
-                    max_to_keep: Optional[int] = 3) -> None:
+                    max_to_keep: Optional[int] = 3,
+                    meta: Optional[dict] = None) -> None:
     mgr = _manager(ckpt_dir, max_to_keep)
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
     mgr.close()
+    if meta and jax.process_index() == 0:
+        # reference parity: checkpoints carry version + CLASSES
+        # (tools/train.py:226-229 via CheckpointHook meta)
+        import json
+        with open(os.path.join(ckpt_dir, 'meta.json'), 'w') as f:
+            json.dump(meta, f, indent=2, default=str)
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

@@ -81,7 +81,7 @@ class CheckpointHook(Hook):
 
     def __init__(self, ckpt_dir: str, interval_iters: int,
                  max_keep_ckpts: int = 3, save_last: bool = True,
-                 max_iters: int = 0, logger=None):
+                 max_iters: int = 0, logger=None, meta=None):
         from ..utils.logging import get_root_logger
         self.ckpt_dir = ckpt_dir
         self.interval = max(int(interval_iters), 1)
@@ -89,6 +89,7 @@ class CheckpointHook(Hook):
         self.save_last = save_last
         self.max_iters = max_iters
         self.logger = logger or get_root_logger()
+        self.meta = meta
 
     def after_step(self, i, state, logs):
         last = self.save_last and (i + 1) == self.max_iters
@@ -97,7 +98,7 @@ class CheckpointHook(Hook):
         import jax
         from .checkpoints import save_checkpoint
         save_checkpoint(self.ckpt_dir, jax.device_get(state), i + 1,
-                        max_to_keep=self.max_keep)
+                        max_to_keep=self.max_keep, meta=self.meta)
         self.logger.info(f'checkpoint saved at iter {i + 1}')
 
 

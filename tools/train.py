@@ -18,6 +18,9 @@ def parse_args():
     p.add_argument('--resume-from', help='checkpoint dir to resume from')
     p.add_argument('--auto-resume', action='store_true')
     p.add_argument('--no-validate', action='store_true')
+    p.add_argument('--auto-scale-lr', action='store_true',
+                   help='enable cfg.auto_scale_lr (linear batch-size LR '
+                        'scaling, reference tools/train.py:90)')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--cfg-options', nargs='+', default=[],
                    help='override config, format key=value')
@@ -71,6 +74,11 @@ def main():
     cfg.seed = args.seed
     if args.auto_resume:
         cfg.auto_resume = True
+    if args.auto_scale_lr:
+        if 'auto_scale_lr' in cfg:
+            cfg.auto_scale_lr['enable'] = True
+        else:
+            cfg.auto_scale_lr = dict(enable=True, base_batch_size=16)
 
     logger = get_root_logger(os.path.join(cfg.work_dir, 'train.log'))
     for k, v in collect_env().items():
