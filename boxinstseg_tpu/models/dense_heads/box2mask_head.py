@@ -35,7 +35,8 @@ from ..utils.positional_encoding import SinePositionalEncoding
 from ..utils.transformer import DetrTransformerDecoderLayer
 from ...core.targets.hungarian import (box_matching_cost,
                                        classification_cost, hungarian_match)
-from ...ops.tree_filter import grid_mst, tree_filter2d
+from ...ops.tree_filter import (grid_mst, grid_mst_pair,
+                                tree_filter2d)
 from ...ops.upsample import interpolate_bilinear
 from ...registry import HEADS
 
@@ -205,8 +206,8 @@ class Box2MaskHead(nn.Module):
         lst96 = interpolate_bilinear(outs['levelset_feat'], (th, tw))
         box96 = jax.lax.stop_gradient(interpolate_bilinear(
             k_maskf.transpose(0, 2, 3, 1), (th, tw)).transpose(0, 3, 1, 2))
-        parent_i, depth_i = grid_mst(img96, self.tf_max_depth)
-        parent_l, depth_l = grid_mst(lst96, self.tf_max_depth)
+        (parent_i, depth_i), (parent_l, depth_l) = grid_mst_pair(
+            img96, lst96, self.tf_max_depth)
 
         losses: Dict[str, jnp.ndarray] = {}
         layer_masks96: List[jnp.ndarray] = []

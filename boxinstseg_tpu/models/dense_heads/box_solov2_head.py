@@ -32,7 +32,8 @@ from ..losses.levelset_loss import region_levelset
 from ...core.targets.solo import sample_positive_cells, solo_targets
 from ...ops.nms import mask_matrix_nms, points_nms_2x2
 from ...ops.upsample import interpolate_bilinear
-from ...ops.tree_filter import grid_mst, tree_filter2d
+from ...ops.tree_filter import (grid_mst, grid_mst_pair,
+                                tree_filter2d)
 from ...registry import HEADS, LOSSES
 
 
@@ -252,11 +253,11 @@ class BoxSOLOv2Head(nn.Module):
         box_tf = jax.lax.stop_gradient(interpolate_bilinear(
             box_mask.transpose(0, 2, 3, 1), (th, tw)))            # (B,t,t,K)
 
-        parent_i, depth_i = grid_mst(img_tf, self.tf_max_depth)
+        (parent_i, depth_i), (parent_l, depth_l) = grid_mst_pair(
+            img_tf, lst_tf, self.tf_max_depth)
         deep_img = tree_filter2d(mask_tf, img_tf, parent_i, depth_i,
                                  sigma=0.02, low_tree=True,
                                  max_depth=self.tf_max_depth)
-        parent_l, depth_l = grid_mst(lst_tf, self.tf_max_depth)
         deep_lst = tree_filter2d(deep_img, lst_tf, parent_l, depth_l,
                                  low_tree=False,
                                  max_depth=self.tf_max_depth)

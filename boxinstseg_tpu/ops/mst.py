@@ -42,6 +42,39 @@ def grid_edges(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
     return src, dst
 
 
+@functools.lru_cache(maxsize=None)
+def grid_neighbors(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-node static tables for gather-only BFS:
+    nbr (N, 4) neighbor node ids (left, right, up, down; -1 invalid) and
+    eid (N, 4) the undirected edge id connecting to that neighbor
+    (right edges first, then down edges, matching grid_edges)."""
+    n = h * w
+    y, x = np.divmod(np.arange(n, dtype=np.int64), w)
+    nbr = np.full((n, 4), -1, np.int32)
+    eid = np.full((n, 4), 0, np.int32)
+    n_right = h * (w - 1)
+
+    def right_edge(yy, xx):   # edge between (yy, xx) and (yy, xx+1)
+        return (yy * (w - 1) + xx).astype(np.int32)
+
+    def down_edge(yy, xx):    # edge between (yy, xx) and (yy+1, xx)
+        return (n_right + yy * w + xx).astype(np.int32)
+
+    m = x > 0
+    nbr[m, 0] = (y[m] * w + x[m] - 1).astype(np.int32)
+    eid[m, 0] = right_edge(y[m], x[m] - 1)
+    m = x < w - 1
+    nbr[m, 1] = (y[m] * w + x[m] + 1).astype(np.int32)
+    eid[m, 1] = right_edge(y[m], x[m])
+    m = y > 0
+    nbr[m, 2] = ((y[m] - 1) * w + x[m]).astype(np.int32)
+    eid[m, 2] = down_edge(y[m] - 1, x[m])
+    m = y < h - 1
+    nbr[m, 3] = ((y[m] + 1) * w + x[m]).astype(np.int32)
+    eid[m, 3] = down_edge(y[m], x[m])
+    return nbr, eid
+
+
 def boruvka_mst(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
                 n: int) -> jnp.ndarray:
     """MST edge selection for one connected graph.
@@ -99,43 +132,64 @@ def boruvka_mst(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
 
     lbl0 = nodes
     chosen0 = jnp.zeros((e,), bool)
-    (_, chosen), _ = jax.lax.scan(round_fn, (lbl0, chosen0), None,
-                                  length=rounds)
+
+    # while_loop with live-edge early exit: natural-image trees usually
+    # connect in far fewer than the worst-case ceil(log2 N) rounds
+    def cond(carry):
+        lbl, chosen, i = carry
+        return (i < rounds) & jnp.any(lbl[src] != lbl[dst])
+
+    def body(carry):
+        lbl, chosen, i = carry
+        (lbl, chosen), _ = round_fn((lbl, chosen), None)
+        return lbl, chosen, i + 1
+
+    _, chosen, _ = jax.lax.while_loop(cond, body,
+                                      (lbl0, chosen0, jnp.int32(0)))
     return chosen
 
 
-def root_tree(src: jnp.ndarray, dst: jnp.ndarray, chosen: jnp.ndarray,
+def root_tree(nbr: jnp.ndarray, eid: jnp.ndarray, chosen: jnp.ndarray,
               n: int, max_depth: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Root the chosen-edge tree at node 0 by level-synchronous BFS.
+    """Root the chosen-edge tree at node 0 by gather-only BFS.
 
-    Returns (parent, depth), each (n,) int32; parent[0] = 0. Nodes deeper
-    than ``max_depth`` (beyond the downstream scan budget anyway) keep
-    parent = self, depth = 0 and act as isolated roots.
+    Per node the 4 grid neighbors and their edge ids are STATIC tables
+    (``grid_neighbors``), so each level is a handful of (N, 4) gathers —
+    no scatters (TPU scatter lowering dominated the old edge-list
+    formulation). Returns (parent, depth), (n,) int32 each; parent[0] = 0;
+    nodes deeper than ``max_depth`` (beyond the downstream scan budget
+    anyway) stay isolated roots.
     """
+    # per-(node, slot): is this slot a tree edge to a valid neighbor
+    nbr_safe = jnp.maximum(nbr, 0)
+    tree_slot = chosen[eid] & (nbr >= 0)                      # (N, 4)
+
     parent0 = jnp.arange(n, dtype=jnp.int32)
     known0 = jnp.zeros((n,), bool).at[0].set(True)
     depth0 = jnp.zeros((n,), jnp.int32)
 
-    def step(carry, d):
-        parent, known, depth = carry
-        ks, kd = known[src], known[dst]
-        exp_d = chosen & ks & ~kd        # dst joins, parent = src
-        exp_s = chosen & kd & ~ks        # src joins, parent = dst
-        tgt_d = jnp.where(exp_d, dst, n)
-        tgt_s = jnp.where(exp_s, src, n)
-        # a frontier node has exactly one tree edge into the known set,
-        # so these scatters never collide
-        parent = parent.at[tgt_d].set(src, mode='drop')
-        parent = parent.at[tgt_s].set(dst, mode='drop')
-        newly = jnp.zeros((n,), bool).at[tgt_d].set(True, mode='drop')
-        newly = newly.at[tgt_s].set(True, mode='drop')
-        newly = newly & ~known
-        depth = jnp.where(newly, d, depth)
-        return (parent, known | newly, depth), None
+    unroll = 8
 
+    def level(parent, known, depth, d):
+        nb_known = known[nbr_safe] & tree_slot                # (N, 4)
+        reach = nb_known.any(axis=1) & ~known
+        # a frontier node has exactly one tree edge into the known set
+        slot = jnp.argmax(nb_known, axis=1)
+        par = jnp.take_along_axis(nbr_safe, slot[:, None], axis=1)[:, 0]
+        parent = jnp.where(reach, par, parent)
+        depth = jnp.where(reach, d, depth)
+        return parent, known | reach, depth
+
+    def step(carry, d0):
+        parent, known, depth = carry
+        for k in range(unroll):      # 8 levels per scan iteration
+            parent, known, depth = level(parent, known, depth, d0 + k)
+        return (parent, known, depth), None
+
+    n_steps = (max_depth + unroll - 1) // unroll
     (parent, known, depth), _ = jax.lax.scan(
         step, (parent0, known0, depth0),
-        jnp.arange(1, max_depth + 1, dtype=jnp.int32))
+        jnp.arange(1, n_steps * unroll + 1, unroll, dtype=jnp.int32))
     parent = jnp.where(known, parent, jnp.arange(n, dtype=jnp.int32))
     parent = parent.at[0].set(0)
     return parent, depth
@@ -155,13 +209,16 @@ def grid_mst_device(w_right: jnp.ndarray, w_down: jnp.ndarray,
     w = wm1 + 1
     n = h * w
     src_np, dst_np = grid_edges(h, w)
+    nbr_np, eid_np = grid_neighbors(h, w)
     src = jnp.asarray(src_np)
     dst = jnp.asarray(dst_np)
+    nbr = jnp.asarray(nbr_np)
+    eid = jnp.asarray(eid_np)
     weights = jnp.concatenate(
         [w_right.reshape(b, -1), w_down.reshape(b, -1)], axis=1)
 
     def per_image(wgt):
         chosen = boruvka_mst(src, dst, wgt, n)
-        return root_tree(src, dst, chosen, n, max_depth)
+        return root_tree(nbr, eid, chosen, n, max_depth)
 
     return jax.vmap(per_image)(weights.astype(jnp.float32))

@@ -71,6 +71,28 @@ def _mst_batch_host(w_right: np.ndarray, w_down: np.ndarray
     return parents, depths
 
 
+def grid_mst_pair(guide_a: jnp.ndarray, guide_b: jnp.ndarray,
+                  max_depth: int = 512):
+    """Build the MSTs of two guides in ONE batched Boruvka+rooting call
+    (the heads need an image tree and a levelset-feature tree per step;
+    batching halves the sequential-solver dispatch cost). Returns
+    ((parent_a, depth_a), (parent_b, depth_b))."""
+    from .mst import grid_mst_device
+
+    def wgts(g):
+        g = jax.lax.stop_gradient(g.astype(jnp.float32))
+        return (jnp.sum((g[:, :, 1:] - g[:, :, :-1]) ** 2, axis=-1),
+                jnp.sum((g[:, 1:] - g[:, :-1]) ** 2, axis=-1))
+
+    wr_a, wd_a = wgts(guide_a)
+    wr_b, wd_b = wgts(guide_b)
+    parent, depth = grid_mst_device(
+        jnp.concatenate([wr_a, wr_b], 0), jnp.concatenate([wd_a, wd_b], 0),
+        max_depth)
+    b = guide_a.shape[0]
+    return (parent[:b], depth[:b]), (parent[b:], depth[b:])
+
+
 def grid_mst(guide: jnp.ndarray, max_depth: int = 512,
              host: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """guide: (B, H, W, D) -> (parent, depth), each (B, H*W) int32.
@@ -95,32 +117,76 @@ def grid_mst(guide: jnp.ndarray, max_depth: int = 512,
 
 
 # ------------------------------------------------------------ device filter
+#
+# Both tree passes run in O(log max_depth) pointer-doubling rounds instead
+# of O(max_depth) level-synchronous steps (512 -> 10 sequential stages;
+# the level-sync formulation made BoxLevelset ~0.8 img/s, 97% of the step).
+#
+# Up pass (subtree sums): invariant after round t —
+#   acc_i = sum over subtree nodes d with dist(i, d) < 2^t of W(i,d) h_d,
+#   anc_i = ancestor at distance exactly 2^t (clamped at root),
+#   P_i   = W(path i -> anc_i).
+# Round update: every non-clamped node scatters P_i * acc_i into anc_i;
+# the 2^(t+1)-ball of a node is the disjoint union of its 2^t-ball and the
+# 2^t-balls of its exactly-2^t-deep descendants, so the invariant holds.
+# Products of many w <= 1 underflowing to 0 is the correct limit (the
+# contribution genuinely vanishes); nothing divides by P.
+#
+# Down pass: U_i = a_i + b_i U_parent (a = S(1-w^2), b = w, b_root = 0,
+# a_root = S_root) — a linear recurrence along root paths, solved by the
+# standard (A, B) composition doubling.
+
 def _up_pass(h, w, parent, depth, max_depth):
     """Leaf->root subtree aggregation: S_i = h_i + sum_children w_c * S_c.
-    h: (B, N, C); w: (B, N) (root weight must be 0)."""
+    h: (B, N, C); w: (B, N) (root edge weight must be 0)."""
+    rounds = max(int(np.ceil(np.log2(max(max_depth, 2)))), 1) + 1
+    n = h.shape[1]
 
-    def step(s, d):
-        mask = (depth == d).astype(s.dtype)
-        contrib = (w * mask)[..., None] * s
-        add = jax.vmap(lambda acc, idx, val: acc.at[idx].add(val))(
-            jnp.zeros_like(s), parent, contrib)
-        return s + add, None
+    gather = jax.vmap(lambda a, idx: a[idx])
 
-    s, _ = jax.lax.scan(step, h, jnp.arange(max_depth, 0, -1))
-    return s
+    def round_fn(carry, _):
+        acc, anc, p, alive = carry
+        # scatter P_i * acc_i into anc_i for alive (non-root-clamped) nodes
+        contrib = jnp.where(alive[..., None], p[..., None] * acc, 0.0)
+        tgt = jnp.where(alive, anc, n)          # dump slot n
+        add = jax.vmap(lambda idx, val: jnp.zeros(
+            (n + 1,) + val.shape[1:], val.dtype).at[idx].add(val))(
+            tgt, contrib)[:, :n]
+        acc = acc + add
+        # double the pointer
+        anc2 = gather(anc, anc)
+        p2 = p * gather(p, anc)
+        alive2 = alive & gather(alive, anc)
+        return (acc, anc2, p2, alive2), None
+
+    # anc at distance 1 = parent; alive = not root (root points to itself)
+    alive0 = depth > 0
+    (acc, _, _, _), _ = jax.lax.scan(
+        round_fn, (h, parent, w, alive0), None, length=rounds)
+    return acc
 
 
 def _down_pass(s, w, parent, depth, max_depth):
-    """Root->leaf completion: U_i = S_i + w_i * (U_parent - w_i * S_i);
-    U is the full unnormalized tree aggregation."""
+    """Root->leaf completion: U_i = S_i + w_i * (U_parent - w_i * S_i)."""
+    rounds = max(int(np.ceil(np.log2(max(max_depth, 2)))), 1) + 1
+    is_root = (depth == 0)[..., None]
+    we = w[..., None]
+    a = jnp.where(is_root, s, s * (1.0 - we * we))
+    b = jnp.where(is_root[..., 0], 0.0, w)
 
-    def step(u, d):
-        par = jax.vmap(lambda a, idx: a[idx])(u, parent)
-        cand = s + w[..., None] * (par - w[..., None] * s)
-        return jnp.where((depth == d)[..., None], cand, u), None
+    gather = jax.vmap(lambda arr, idx: arr[idx])
 
-    u, _ = jax.lax.scan(step, s, jnp.arange(1, max_depth + 1))
-    return u
+    def round_fn(carry, _):
+        a, b, anc = carry
+        a2 = a + b[..., None] * gather(a, anc)
+        b2 = b * gather(b, anc)
+        anc2 = gather(anc, anc)
+        return (a2, b2, anc2), None
+
+    (a, b, _), _ = jax.lax.scan(round_fn, (a, b, parent), None,
+                                length=rounds)
+    # b has absorbed a zero (root) on every path => U = a
+    return a
 
 
 def _aggregate_su(h, w, parent, depth, max_depth):

@@ -1,7 +1,12 @@
 #!/usr/bin/env python
-"""Inference FPS benchmark (reference surface:
-tools/analysis_tools/benchmark.py) — times the jitted predict step on
-synthetic batches."""
+"""FPS benchmark (reference surface: tools/analysis_tools/benchmark.py) —
+times the jitted predict step, or the full train step with ``--train``,
+for ANY config family on synthetic batches.
+
+Timing is state-threaded (each iteration's input depends on the previous
+output) — repeated identical executions can be served from a cache by
+remote-tunnel runtimes and report impossible numbers otherwise.
+"""
 import argparse
 import os
 import sys
@@ -11,14 +16,53 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
 
-def main():
+def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument('config')
     p.add_argument('--batch-size', type=int, default=1)
     p.add_argument('--height', type=int, default=800)
     p.add_argument('--width', type=int, default=1344)
     p.add_argument('--iters', type=int, default=20)
-    args = p.parse_args()
+    p.add_argument('--train', action='store_true',
+                   help='benchmark the training step instead of inference')
+    p.add_argument('--max-gts', type=int, default=32)
+    p.add_argument('--bf16', action='store_true')
+    p.add_argument('--device', default='auto')
+    return p.parse_args()
+
+
+def _train_batch(np, jnp, b, h, w, g):
+    rng = np.random.RandomState(0)
+    boxes = np.zeros((b, g, 4), np.float32)
+    labels = rng.randint(0, 3, (b, g)).astype(np.int32)
+    valid = np.zeros((b, g), bool)
+    masks = np.zeros((b, g, h // 4, w // 4), np.uint8)
+    for i in range(b):
+        n = rng.randint(2, g + 1)
+        for k in range(n):
+            x1 = rng.randint(0, w - 200)
+            y1 = rng.randint(0, h - 200)
+            bw, bh = rng.randint(60, 200, 2)
+            boxes[i, k] = [x1, y1, x1 + bw, y1 + bh]
+            valid[i, k] = True
+            masks[i, k, y1 // 4:(y1 + bh) // 4, x1 // 4:(x1 + bw) // 4] = 1
+    return {
+        'image': jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32)),
+        'img_shape': jnp.asarray([[h, w]] * b, jnp.int32),
+        'pixels_removed': jnp.asarray([10] * b, jnp.int32),
+        'gt_bboxes': jnp.asarray(boxes),
+        'gt_labels': jnp.asarray(labels),
+        'gt_valid': jnp.asarray(valid),
+        'gt_masks': jnp.asarray(masks),
+        'scale_factor': jnp.ones((b, 4), jnp.float32),
+    }
+
+
+def main():
+    args = parse_args()
+    if args.device != 'auto':
+        import jax
+        jax.config.update('jax_platforms', args.device)
 
     import jax
     import jax.numpy as jnp
@@ -27,13 +71,48 @@ def main():
     from boxinstseg_tpu.config import Config
     from boxinstseg_tpu.registry import build_detector
     from boxinstseg_tpu.engine import init_variables
+    from boxinstseg_tpu.models.layers import set_compute_dtype
+
+    if args.bf16:
+        set_compute_dtype(jnp.bfloat16)
 
     cfg = Config.fromfile(args.config)
     model = build_detector(cfg.model.copy())
     b, h, w = args.batch_size, args.height, args.width
+
+    if args.train:
+        from boxinstseg_tpu.engine import (build_optimizer,
+                                           create_train_state,
+                                           make_train_step,
+                                           make_ts_train_step,
+                                           step_lr_schedule)
+        batch = _train_batch(np, jnp, b, h, w, args.max_gts)
+        variables = init_variables(
+            model, {'params': jax.random.PRNGKey(0)}, batch,
+            jnp.zeros((), jnp.int32), method=model.loss)
+        sched = step_lr_schedule(0.01, 'linear', 500, 0.001, (60000,))
+        tx = build_optimizer(dict(type='SGD', lr=0.01, momentum=0.9,
+                                  weight_decay=1e-4), sched)
+        use_ts = cfg.model.get('type') in ('DiscoBoxSOLOv2',
+                                           'SingleStageWSInsTSDetector')
+        state = create_train_state(model, variables, tx, ema=use_ts)
+        step = (make_ts_train_step(model, tx, mesh=None)
+                if use_ts else make_train_step(model, tx, mesh=None,
+                                               donate=True))
+        state, logs = step(state, batch)
+        jax.block_until_ready(logs['loss'])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, logs = step(state, batch)   # state-threaded
+        jax.block_until_ready(logs['loss'])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f'train: {b / dt:.2f} img/s/chip ({dt * 1000:.1f} ms/step, '
+              f'batch {b})')
+        return
+
+    img = jnp.asarray(np.random.randn(b, h, w, 3).astype(np.float32))
     batch = {
-        'image': jnp.asarray(
-            np.random.randn(b, h, w, 3).astype(np.float32)),
+        'image': img,
         'img_shape': jnp.asarray([[h, w]] * b, jnp.int32),
         'scale_factor': jnp.ones((b, 4), jnp.float32),
     }
@@ -41,15 +120,19 @@ def main():
                                batch['image'], False)
 
     @jax.jit
-    def predict(v, batch):
-        return model.apply(v, batch, method=model.predict)
+    def predict_chained(v, batch):
+        out = model.apply(v, batch, method=model.predict)
+        # thread a data dependency into the next input
+        feedback = out['scores'].sum() * 0.0
+        return out, batch['image'] + feedback
 
-    out = predict(variables, batch)
-    jax.block_until_ready(out)
+    (out, img) = predict_chained(variables, batch)
+    jax.block_until_ready(img)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = predict(variables, batch)
-    jax.block_until_ready(out)
+        batch['image'] = img
+        out, img = predict_chained(variables, batch)
+    jax.block_until_ready(img)
     dt = time.perf_counter() - t0
     fps = b * args.iters / dt
     print(f'inference: {fps:.2f} img/s ({dt / args.iters * 1000:.1f} '
