@@ -125,7 +125,7 @@ class Box2MaskHead(nn.Module):
             me = out
             for fc in mask_mlp:
                 me = jax.nn.relu(fc(me))
-            me = mask_out(me)
+            me = mask_out(me)                             # (B, Q, C)
             mask_pred = jnp.einsum('bqc,bhwc->bqhw', me, mask_features,
                                    preferred_element_type=jnp.float32)
             am = interpolate_bilinear(
@@ -138,28 +138,35 @@ class Box2MaskHead(nn.Module):
             am = jax.lax.stop_gradient(
                 jnp.broadcast_to(am[:, None], (b, num_heads, q,
                                                am.shape[-1])))
-            return cls_pred, mask_pred, am
+            return cls_pred, me, mask_pred, am
 
         levelset_feat = levelset_bottom(mask_features)
 
         queries = jnp.broadcast_to(query_feat[None], (b, q, c))
         qpos = jnp.broadcast_to(query_embed[None], (b, q, c))
 
-        cls_list, mask_list = [], []
-        cls_pred, mask_pred, attn_mask = forward_head(queries, dec_hw[0])
+        # only mask EMBEDDINGS (B, Q, C) are kept per layer; the loss
+        # reconstructs full-resolution mask logits lazily inside a
+        # rematerialized per-layer body — 10 live (B, Q, H4, W4) buffers
+        # at LSJ sizes exceeded HBM (and crashed the compiler) at batch 2
+        cls_list, embed_list = [], []
+        cls_pred, me, mask_pred, attn_mask = forward_head(queries,
+                                                          dec_hw[0])
         cls_list.append(cls_pred)
-        mask_list.append(mask_pred)
+        embed_list.append(me)
         for i in range(num_layers):
             lvl = i % nfl
             queries = DetrTransformerDecoderLayer(
                 c, num_heads, ffc, name=f'decoder_layer_{i}')(
                 queries, dec_inputs[lvl], dec_inputs[lvl], qpos,
                 dec_pos[lvl], cross_attn_mask=attn_mask)
-            cls_pred, mask_pred, attn_mask = forward_head(
+            cls_pred, me, mask_pred, attn_mask = forward_head(
                 queries, dec_hw[(i + 1) % nfl])
             cls_list.append(cls_pred)
-            mask_list.append(mask_pred)
-        return dict(cls=cls_list, masks=mask_list,
+            embed_list.append(me)
+        return dict(cls=cls_list, mask_embeds=embed_list,
+                    masks=[mask_pred],            # final layer only
+                    mask_feature=mask_features,
                     levelset_feat=levelset_feat)
 
     # ------------------------------------------------------------------ loss
@@ -183,7 +190,7 @@ class Box2MaskHead(nn.Module):
         gt_masks = batch['gt_masks'].astype(jnp.float32)
         B, G = gt_labels.shape
         K = min(self.max_matched, G)
-        h4, w4 = outs['masks'][0].shape[2:]
+        h4, w4 = outs['mask_feature'].shape[1:3]
         class_weight = jnp.asarray(cw)
 
         # sample a fixed-capacity subset of GTs per image (slot order)
@@ -210,18 +217,26 @@ class Box2MaskHead(nn.Module):
             img96, lst96, self.tf_max_depth)
 
         losses: Dict[str, jnp.ndarray] = {}
-        layer_masks96: List[jnp.ndarray] = []
         n_layers = len(outs['cls'])
-        per_layer: List[Dict[str, jnp.ndarray]] = []
-        for li in range(n_layers):
-            cls_pred = outs['cls'][li]              # (B, Q, C+1)
-            mask_pred = outs['masks'][li]           # (B, Q, H4, W4)
+        # one traced per-layer body mapped over the deep-supervision stack
+        # (an unrolled 10-layer python loop at LSJ sizes made the program
+        # large enough to crash the TPU compiler at batch 2)
+        cls_stack = jnp.stack(outs['cls'])          # (L, B, Q, C+1)
+        embed_stack = jnp.stack(outs['mask_embeds'])  # (L, B, Q, C)
+        mask_feature = outs['mask_feature']         # (B, H4, W4, C)
+        img_t = img4.transpose(0, 3, 1, 2)[:, None] * k_maskf[:, :, None]
+        pix = jnp.maximum(k_maskf.sum(axis=(2, 3)), 1.0)
 
+        def layer_losses(args):
+            cls_pred, mask_embed = args
+            mask_pred = jnp.einsum('bqc,bhwc->bqhw', mask_embed,
+                                   mask_feature,
+                                   preferred_element_type=jnp.float32)
             cost = (cls_cost_w * classification_cost(cls_pred, k_labels)
                     + dice_cost_w * box_matching_cost(mask_pred, k_maskf))
             assigned, m_valid = hungarian_match(cost, k_valid)
 
-            # labels per query (invalid slots scatter out-of-bounds -> drop)
+            # labels per query (invalid slots scatter OOB -> dropped)
             labels = jnp.full((B, self.num_queries), self.num_classes,
                               jnp.int32)
             aq_eff = jnp.where(m_valid, assigned, self.num_queries)
@@ -258,9 +273,6 @@ class Box2MaskHead(nn.Module):
             # image level-set x0.05
             phi = jnp.stack([mscore, 1.0 - mscore], axis=2) * \
                 k_maskf[:, :, None]
-            img_t = img4.transpose(0, 3, 1, 2)[:, None] * \
-                k_maskf[:, :, None]
-            pix = jnp.maximum(k_maskf.sum(axis=(2, 3)), 1.0)
             ls_img = region_levelset(
                 phi.reshape(B * K, 2, h4, w4),
                 img_t.reshape(B * K, 3, h4, w4)) / pix.reshape(-1)
@@ -269,11 +281,16 @@ class Box2MaskHead(nn.Module):
 
             m96 = interpolate_bilinear(
                 mscore.transpose(0, 2, 3, 1), (th, tw))  # (B,t,t,K)
-            layer_masks96.append(m96)
-            per_layer.append(dict(loss_cls=loss_cls,
-                                  loss_project=loss_project,
-                                  loss_img=loss_img, mv=mv, phi=phi,
-                                  pix=pix, mdenom=mdenom))
+            return dict(loss_cls=loss_cls, loss_project=loss_project,
+                        loss_img=loss_img, mv=mv, mdenom=mdenom, m96=m96)
+
+        # remat: only the tiny (B, Q, C) embeddings are saved per layer;
+        # mask logits are recomputed in the backward pass
+        pl_stacked = jax.lax.map(jax.checkpoint(layer_losses),
+                                 (cls_stack, embed_stack))
+        per_layer = [jax.tree_util.tree_map(lambda x: x[li], pl_stacked)
+                     for li in range(n_layers)]
+        layer_masks96 = [pl.pop('m96') for pl in per_layer]
 
         # ---- tree-filtered structural term, all layers in one filter call
         all96 = jnp.concatenate(layer_masks96, axis=-1)  # (B,t,t,L*K)
@@ -289,31 +306,42 @@ class Box2MaskHead(nn.Module):
         refined = lcm(img96_nchw,
                       all96.transpose(0, 3, 1, 2))      # (B, L*K, t, t)
 
-        for li in range(n_layers):
-            pl = per_layer[li]
-            sl = slice(li * K, (li + 1) * K)
-            di = deep_img[..., sl].transpose(0, 3, 1, 2)  # (B,K,t,t)
-            dl = deep_lst[..., sl].transpose(0, 3, 1, 2)
+        # (B, t, t, L*K) -> (L, B, K, t, t)
+        def to_lk(x):
+            return x.reshape(B, th, tw, n_layers, K).transpose(3, 0, 4, 1, 2)
+
+        di_stack = to_lk(deep_img)
+        dl_stack = to_lk(deep_lst)
+        m96_stack = to_lk(all96)
+        ref_stack = refined.reshape(B, n_layers, K, th, tw).transpose(
+            1, 0, 2, 3, 4)
+        pix96 = jnp.maximum(box96.sum(axis=(2, 3)), 1.0)
+
+        def layer_tree_losses(args):
+            di, dl, m96, ref, mv, mdenom = args
             high = jnp.stack([di, dl], axis=2) * box96[:, :, None]
-            m96 = layer_masks96[li].transpose(0, 3, 1, 2)
             phi96 = jnp.stack([m96, 1.0 - m96], axis=2) * box96[:, :, None]
-            pix96 = jnp.maximum(box96.sum(axis=(2, 3)), 1.0)
             ls_hi = region_levelset(
                 phi96.reshape(B * K, 2, th, tw),
                 high.reshape(B * K, 2, th, tw)) / pix96.reshape(-1)
-            loss_feat = 5.0 * ls_w * (ls_hi * pl['mv'].reshape(-1)
-                                      ).sum() / pl['mdenom']
-
-            ref = refined[:, li * K:(li + 1) * K]
+            loss_feat = 5.0 * ls_w * (ls_hi * mv.reshape(-1)
+                                      ).sum() / mdenom
             lcm_num = (jnp.abs(ref - m96) * box96 *
-                       pl['mv'][..., None, None]).sum()
-            lcm_den = jnp.maximum((box96 * pl['mv'][..., None, None]).sum(),
-                                  1.0)
+                       mv[..., None, None]).sum()
+            lcm_den = jnp.maximum((box96 * mv[..., None, None]).sum(), 1.0)
             loss_lcm = 0.2 * lcm_num / lcm_den
+            return loss_feat + loss_lcm
 
+        mv_stack = jnp.stack([pl['mv'] for pl in per_layer])
+        md_stack = jnp.stack([pl['mdenom'] for pl in per_layer])
+        tree_l = jax.lax.map(layer_tree_losses,
+                             (di_stack, dl_stack, m96_stack, ref_stack,
+                              mv_stack, md_stack))                 # (L,)
+
+        for li in range(n_layers):
+            pl = per_layer[li]
             prefix = '' if li == n_layers - 1 else f'd{li}.'
             losses[f'{prefix}loss_cls'] = pl['loss_cls']
             losses[f'{prefix}loss_project'] = pl['loss_project']
-            losses[f'{prefix}loss_levelset'] = (pl['loss_img'] + loss_feat
-                                                + loss_lcm)
+            losses[f'{prefix}loss_levelset'] = pl['loss_img'] + tree_l[li]
         return losses

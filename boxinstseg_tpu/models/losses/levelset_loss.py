@@ -71,12 +71,30 @@ def _replicate_shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return x[..., ys, :][..., :, xs]
 
 
+def _replicate_shift_adjoint(g: jnp.ndarray, dy: int, dx: int
+                             ) -> jnp.ndarray:
+    """Adjoint of ``_replicate_shift``: scatter-add g[p] into clip(p+o)."""
+    h, w = g.shape[-2], g.shape[-1]
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    tmp = jnp.zeros_like(g).at[..., ys, :].add(g)
+    return jnp.zeros_like(g).at[..., :, xs].add(tmp)
+
+
 class LocalConsistencyModule:
     """Affinity-propagated phi refinement (reference levelset_loss.py:76-127).
 
     The affinity between a pixel and its 8 dilated neighbors is a Gaussian of
     the normalized image difference; phi is repeatedly replaced by the
     affinity-weighted average of its neighbors.
+
+    The refinement is LINEAR in phi (refined = A^T_iter phi with A the fixed
+    affinity operator), so the backward applies the transposed operator to
+    the cotangent — a custom VJP instead of autodiff through the iteration,
+    which would checkpoint a (N, C, 8, H, W) neighbor stack per iteration
+    (gigabytes at Box2Mask's L*K channels; it crashed the TPU compiler at
+    batch 2). Per-offset accumulation also avoids materializing the stack
+    in the forward.
     """
 
     def __init__(self, dilations: Sequence[int] = (2,), num_iter: int = 10,
@@ -85,29 +103,64 @@ class LocalConsistencyModule:
         self.num_iter = num_iter
         self.alpha = alpha
 
-    def _neighbors(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(N, C, H, W) -> (N, C, 8*len(dilations), H, W), replicate pad."""
-        outs = []
-        for d in self.dilations:
-            for dy, dx in neighbor_offsets(3, d):
-                outs.append(_replicate_shift(x, dy, dx))
-        return jnp.stack(outs, axis=2)
+    def _offsets(self):
+        return [(dy, dx) for d in self.dilations
+                for dy, dx in neighbor_offsets(3, d)]
 
-    def __call__(self, imgs: jnp.ndarray, pred_phis: jnp.ndarray
-                 ) -> jnp.ndarray:
+    def _neighbors(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(N, C, H, W) -> (N, C, K, H, W), replicate pad (affinity calc)."""
+        return jnp.stack([_replicate_shift(x, dy, dx)
+                          for dy, dx in self._offsets()], axis=2)
+
+    def _affinity(self, imgs: jnp.ndarray) -> jnp.ndarray:
         nb_imgs = self._neighbors(imgs)                       # (N,C,K,H,W)
         diff = jnp.abs(nb_imgs - imgs[:, :, None])
         std = jnp.std(nb_imgs, axis=2, keepdims=True, ddof=1)
         aff = -((diff / (std + 1e-8) / self.alpha) ** 2)
         aff = aff.mean(axis=1, keepdims=True)                 # (N,1,K,H,W)
-        aff = jax.nn.softmax(aff, axis=2)
+        return jax.nn.softmax(aff, axis=2)
 
-        def step(phis, _):
-            nb = self._neighbors(phis)
-            return (nb * aff).sum(axis=2), None
+    def __call__(self, imgs: jnp.ndarray, pred_phis: jnp.ndarray
+                 ) -> jnp.ndarray:
+        aff = jax.lax.stop_gradient(self._affinity(imgs))
+        offsets = self._offsets()
+        num_iter = self.num_iter
 
-        phis, _ = jax.lax.scan(step, pred_phis, None, length=self.num_iter)
-        return phis
+        def apply_a(a, phis):
+            """refined[p] = sum_k aff[p, k] * phi[p + off_k]."""
+            out = jnp.zeros_like(phis)
+            for k, (dy, dx) in enumerate(offsets):
+                out = out + a[:, 0, k][:, None] * _replicate_shift(
+                    phis, dy, dx)
+            return out
+
+        def apply_at(a, g):
+            """Transpose: grad[q] += sum_k aff[q - off_k, k] * g[q - off_k]
+            with replicate-pad adjoint (edge rows accumulate the clamp)."""
+            out = jnp.zeros_like(g)
+            for k, (dy, dx) in enumerate(offsets):
+                out = out + _replicate_shift_adjoint(
+                    a[:, 0, k][:, None] * g, dy, dx)
+            return out
+
+        @jax.custom_vjp
+        def refine(phis):
+            def body(p, _):
+                return apply_a(aff, p), None
+            p, _ = jax.lax.scan(body, phis, None, length=num_iter)
+            return p
+
+        def refine_fwd(phis):
+            return refine(phis), None
+
+        def refine_bwd(_, g):
+            def body(gg, __):
+                return apply_at(aff, gg), None
+            g, _ = jax.lax.scan(body, g, None, length=num_iter)
+            return (g,)
+
+        refine.defvjp(refine_fwd, refine_bwd)
+        return refine(pred_phis)
 
 
 def local_consistency_loss(imgs, pred_phis, box_targets,

@@ -81,8 +81,12 @@ class MSDeformAttnPixelDecoder(nn.Module):
         poss = jnp.concatenate(poss, axis=1)
         refs = jnp.concatenate(refs, axis=1)
 
+        # remat: encoder layers recompute in the backward instead of
+        # saving every deformable-attention gather (HBM at LSJ sizes)
+        EncLayer = nn.remat(DetrTransformerEncoderLayer,
+                            static_argnums=(3,))
         for li in range(self.num_encoder_layers):
-            tokens = DetrTransformerEncoderLayer(
+            tokens = EncLayer(
                 self.feat_channels, self.num_heads, nel, self.num_points,
                 self.feedforward_channels, name=f'encoder_layer_{li}')(
                 tokens, poss, shapes, refs)

@@ -8,6 +8,7 @@ import types
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 import boxinstseg_tpu  # noqa: F401
@@ -328,3 +329,29 @@ def test_golden_segm_head_loss(rng):
                           jnp.asarray(labels), jnp.ones((B, G), bool),
                           mask_stride=4)['loss_segm'])
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_lcm_custom_vjp_matches_autodiff(rng):
+    """LCM refinement is linear in phi; its custom transposed-operator
+    backward must equal autodiff through the stacked formulation."""
+    from boxinstseg_tpu.models.losses.levelset_loss import (
+        LocalConsistencyModule, _replicate_shift)
+    imgs = jnp.asarray(rng.rand(2, 3, 10, 12).astype(np.float32))
+    phis = jnp.asarray(rng.rand(2, 4, 10, 12).astype(np.float32))
+    lcm = LocalConsistencyModule(dilations=(2,), num_iter=4)
+
+    def ref(p):
+        aff = lcm._affinity(imgs)
+        offs = lcm._offsets()
+        for _ in range(4):
+            nb = jnp.stack([_replicate_shift(p, dy, dx)
+                            for dy, dx in offs], 2)
+            p = (nb * aff).sum(axis=2)
+        return (p ** 2).sum()
+
+    v1, g1 = jax.value_and_grad(ref)(phis)
+    v2, g2 = jax.value_and_grad(
+        lambda p: (lcm(imgs, p) ** 2).sum())(phis)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
