@@ -203,6 +203,37 @@ def replace_cfg_vals(cfg: 'Config') -> 'Config':
     return out
 
 
+def compat_cfg(cfg: 'Config') -> 'Config':
+    """Legacy-config migrations (reference: mmdet/utils/compat_config.py):
+    ``total_epochs`` -> ``runner``, ``imgs_per_gpu`` -> ``samples_per_gpu``,
+    per-split ``samples_per_gpu``/``workers_per_gpu`` hoisted from
+    data.train (the fields this fork's old configs used)."""
+    import warnings
+    cfg = cfg.copy()
+    data = cfg.get('data')
+    if data is not None:
+        if 'imgs_per_gpu' in data:
+            warnings.warn('"imgs_per_gpu" is deprecated; using it as '
+                          '"samples_per_gpu"', UserWarning)
+            data['samples_per_gpu'] = data.pop('imgs_per_gpu')
+        train = data.get('train')
+        if isinstance(train, dict):
+            for key in ('samples_per_gpu', 'workers_per_gpu'):
+                if key in train and key not in data:
+                    data[key] = train.pop(key)
+                else:
+                    train.pop(key, None)
+    if 'runner' not in cfg:
+        if 'total_epochs' in cfg:
+            warnings.warn('config should define a `runner` section; '
+                          'migrating total_epochs', UserWarning)
+            cfg.runner = dict(type='EpochBasedRunner',
+                              max_epochs=cfg['total_epochs'])
+    elif 'total_epochs' in cfg:
+        assert cfg['total_epochs'] == cfg.runner['max_epochs']
+    return cfg
+
+
 class Config:
     """Loaded configuration tree with attribute access."""
 

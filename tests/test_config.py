@@ -138,3 +138,21 @@ def test_replace_cfg_vals_model_wrapper(tmp_path):
     assert cfg.model.type == 'B'
     assert cfg.model.inner == 'A'
     assert 'model_wrapper' not in cfg
+
+
+def test_compat_cfg(tmp_path):
+    """Legacy fields migrate (reference mmdet/utils/compat_config.py)."""
+    from boxinstseg_tpu.config import compat_cfg
+    f = _write(tmp_path, 'old.py', '''
+        data = dict(imgs_per_gpu=4,
+                    train=dict(type='CocoDataset', samples_per_gpu=8))
+        total_epochs = 24
+    ''')
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        cfg = compat_cfg(Config.fromfile(f))
+    assert cfg.data['samples_per_gpu'] == 4
+    assert 'imgs_per_gpu' not in cfg.data
+    assert 'samples_per_gpu' not in cfg.data['train']
+    assert cfg.runner['max_epochs'] == 24

@@ -57,8 +57,8 @@ def main():
     from boxinstseg_tpu.utils.logging import get_root_logger
     from boxinstseg_tpu.utils.env import collect_env
 
-    from boxinstseg_tpu.config import replace_cfg_vals
-    cfg = replace_cfg_vals(Config.fromfile(args.config))
+    from boxinstseg_tpu.config import compat_cfg, replace_cfg_vals
+    cfg = compat_cfg(replace_cfg_vals(Config.fromfile(args.config)))
     overrides = {}
     for kv in args.cfg_options:
         k, v = kv.split('=', 1)
