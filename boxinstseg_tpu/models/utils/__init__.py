@@ -1,8 +1,15 @@
-from .positional_encoding import SinePositionalEncoding
-from .transformer import (FFN, DetrTransformerDecoderLayer,
-                          DetrTransformerEncoderLayer,
-                          MultiheadAttention, MultiScaleDeformableAttention)
+from .positional_encoding import (LearnedPositionalEncoding,
+                                  SinePositionalEncoding)
+from .transformer import (FFN, DetrTransformerDecoder,
+                          DetrTransformerDecoderLayer,
+                          DetrTransformerEncoder,
+                          DetrTransformerEncoderLayer, DynamicConv,
+                          MultiheadAttention,
+                          MultiScaleDeformableAttention,
+                          TransformerEncoderLayer)
 
-__all__ = ['SinePositionalEncoding', 'FFN', 'DetrTransformerDecoderLayer',
-           'DetrTransformerEncoderLayer', 'MultiheadAttention',
+__all__ = ['SinePositionalEncoding', 'LearnedPositionalEncoding', 'FFN',
+           'DetrTransformerDecoderLayer', 'DetrTransformerEncoderLayer',
+           'DetrTransformerEncoder', 'DetrTransformerDecoder',
+           'TransformerEncoderLayer', 'DynamicConv', 'MultiheadAttention',
            'MultiScaleDeformableAttention']

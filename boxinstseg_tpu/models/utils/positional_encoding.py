@@ -1,10 +1,12 @@
-"""Sine positional encoding (reference:
-mmdet/models/utils/positional_encoding.py SinePositionalEncoding, 163 LoC).
+"""Positional encodings (reference:
+mmdet/models/utils/positional_encoding.py — SinePositionalEncoding and
+LearnedPositionalEncoding, 163 LoC).
 """
 from __future__ import annotations
 
 import math
 
+import flax.linen as nn
 import jax.numpy as jnp
 
 
@@ -42,3 +44,24 @@ class SinePositionalEncoding:
             axis=-1).reshape(h, w, -1)
         pos = jnp.concatenate([pos_y, pos_x], axis=-1)
         return jnp.broadcast_to(pos[None], (b, h, w, pos.shape[-1]))
+
+
+class LearnedPositionalEncoding(nn.Module):
+    """Learnable row/col embedding table (reference:
+    mmdet/models/utils/positional_encoding.py:107-155 — returns
+    [x_embed, y_embed] concatenated per position; NHWC here)."""
+    num_feats: int = 128
+    row_num_embed: int = 50
+    col_num_embed: int = 50
+
+    @nn.compact
+    def __call__(self, b: int, h: int, w: int) -> jnp.ndarray:
+        row = nn.Embed(self.row_num_embed, self.num_feats,
+                       name='row_embed')(jnp.arange(h))      # (h, f)
+        col = nn.Embed(self.col_num_embed, self.num_feats,
+                       name='col_embed')(jnp.arange(w))      # (w, f)
+        pos = jnp.concatenate([
+            jnp.broadcast_to(col[None, :, :], (h, w, self.num_feats)),
+            jnp.broadcast_to(row[:, None, :], (h, w, self.num_feats)),
+        ], axis=-1)
+        return jnp.broadcast_to(pos[None], (b, h, w, 2 * self.num_feats))

@@ -189,6 +189,107 @@ class DetrTransformerEncoderLayer(nn.Module):
         return LayerNorm(name='norm2')(x)
 
 
+class TransformerEncoderLayer(nn.Module):
+    """Plain ('self_attn', 'norm', 'ffn', 'norm') post-norm layer with
+    full (non-deformable) self attention — the encoder brick inside the
+    reference's fallback TransformerEncoderPixelDecoder
+    (mmdet/models/plugins/pixel_decoder.py:159)."""
+    embed_dims: int = 256
+    num_heads: int = 8
+    feedforward_channels: int = 1024
+
+    @nn.compact
+    def __call__(self, x, pos, key_padding_mask=None):
+        """x/pos: (B, L, C); key_padding_mask: (B, L) bool, True = pad."""
+        mask = None
+        if key_padding_mask is not None:
+            mask = key_padding_mask[:, None, None, :]
+        attn = MultiheadAttention(self.embed_dims, self.num_heads,
+                                  name='attn')(
+            x + pos, x + pos, x, attn_mask=mask)
+        x = LayerNorm(name='norm1')(x + attn)
+        x = FFN(self.embed_dims, self.feedforward_channels, name='ffn')(x)
+        return LayerNorm(name='norm2')(x)
+
+
+class DetrTransformerEncoder(nn.Module):
+    """Stack of plain self-attention encoder layers (reference:
+    mmdet/models/utils/transformer.py DetrTransformerEncoder)."""
+    num_layers: int = 6
+    embed_dims: int = 256
+    num_heads: int = 8
+    feedforward_channels: int = 1024
+
+    @nn.compact
+    def __call__(self, x, pos, key_padding_mask=None):
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.embed_dims, self.num_heads,
+                self.feedforward_channels, name=f'layers_{i}')(
+                x, pos, key_padding_mask)
+        return x
+
+
+class DetrTransformerDecoder(nn.Module):
+    """Stack of DETR decoder layers with optional per-layer outputs
+    (reference: mmdet/models/utils/transformer.py DetrTransformerDecoder
+    return_intermediate — used for deep supervision)."""
+    num_layers: int = 6
+    embed_dims: int = 256
+    num_heads: int = 8
+    feedforward_channels: int = 2048
+    return_intermediate: bool = True
+
+    @nn.compact
+    def __call__(self, query, key, value, query_pos, key_pos,
+                 cross_attn_mask=None):
+        intermediate = []
+        for i in range(self.num_layers):
+            query = DetrTransformerDecoderLayer(
+                self.embed_dims, self.num_heads,
+                self.feedforward_channels, name=f'layers_{i}')(
+                query, key, value, query_pos, key_pos, cross_attn_mask)
+            if self.return_intermediate:
+                intermediate.append(query)
+        return intermediate if self.return_intermediate else query
+
+
+class DynamicConv(nn.Module):
+    """Parameter-generated twin 1x1 convolutions over flattened RoI
+    features (reference: mmdet/models/utils/transformer.py:1063-1167 —
+    bmm-based dynamic interaction; kept for Sparse-R-CNN-style heads).
+
+    __call__(param_feature (N, Cin), input_feature (N, H*W, Cin))
+    -> (N, out) if with_proj else (N, H*W, out).
+    """
+    in_channels: int = 256
+    feat_channels: int = 64
+    out_channels: Optional[int] = None
+    input_feat_shape: int = 7
+    with_proj: bool = True
+
+    @nn.compact
+    def __call__(self, param_feature, input_feature):
+        out_c = self.out_channels or self.in_channels
+        n_in = self.in_channels * self.feat_channels
+        n_out = out_c * self.feat_channels
+        params = Dense(n_in + n_out, name='dynamic_layer')(param_feature)
+        p_in = params[:, :n_in].reshape(-1, self.in_channels,
+                                        self.feat_channels)
+        p_out = params[:, n_in:].reshape(-1, self.feat_channels, out_c)
+        feats = jnp.einsum('nlc,ncf->nlf', input_feature, p_in,
+                           preferred_element_type=jnp.float32)
+        feats = jax.nn.relu(LayerNorm(name='norm_in')(feats))
+        feats = jnp.einsum('nlf,nfo->nlo', feats, p_out,
+                           preferred_element_type=jnp.float32)
+        feats = jax.nn.relu(LayerNorm(name='norm_out')(feats))
+        if self.with_proj:
+            feats = feats.reshape(feats.shape[0], -1)
+            feats = Dense(out_c, name='fc_layer')(feats)
+            feats = jax.nn.relu(LayerNorm(name='fc_norm')(feats))
+        return feats
+
+
 class DetrTransformerDecoderLayer(nn.Module):
     """('cross_attn', 'norm', 'self_attn', 'norm', 'ffn', 'norm')
     post-norm layer (reference: DetrTransformerDecoderLayer operation
