@@ -145,6 +145,28 @@ class CocoDataset:
         CocoDataset.evaluate (coco.py:592)."""
         from ..core.eval.coco_eval import evaluate_coco
         metrics = [metric] if isinstance(metric, str) else list(metric)
+        if 'mAP' in metrics:
+            # VOC-style AP@iou_thr (reference: XMLDataset.evaluate ->
+            # mean_ap.eval_map); dets regrouped per class, GTs from the
+            # coco annotations
+            from ..core.eval.mean_ap import eval_map
+            n_cls = len(self.cat_ids)
+            dets, anns = [], []
+            for i, r in enumerate(results):
+                bb = np.asarray(r['bboxes'], np.float32).reshape(-1, 5)
+                lb = np.asarray(r['labels'], np.int64).reshape(-1)
+                dets.append([bb[lb == c] for c in range(n_cls)])
+                gt = self.get_ann_info(i)
+                anns.append(dict(bboxes=gt['bboxes'], labels=gt['labels']))
+            mean_ap, _ = eval_map(dets, anns,
+                                  iou_thr=kwargs.get('iou_thr', 0.5),
+                                  dataset=kwargs.get('ds_name'))
+            out = {'mAP': float(mean_ap)}
+            rest = [m for m in metrics if m != 'mAP']
+            if rest:
+                out.update(evaluate_coco(self.coco, self.img_ids,
+                                         self.cat_ids, results, rest))
+            return out
         return evaluate_coco(self.coco, self.img_ids, self.cat_ids,
                              results, metrics)
 
