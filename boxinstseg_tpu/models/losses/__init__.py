@@ -6,8 +6,11 @@ from .projection import compute_project_term, BoxProjectionLoss
 from .levelset_loss import (LevelsetLoss, LocalConsistencyModule,
                             region_levelset, length_regularization,
                             local_consistency_loss)
-from .misc_losses import (GaussianFocalLoss, L1Loss, MSELoss, SmoothL1Loss,
-                          VarifocalLoss)
+from .misc_losses import (GHMC, GHMR, BalancedL1Loss,
+                          DistributionFocalLoss, GaussianFocalLoss,
+                          KnowledgeDistillationKLDivLoss, L1Loss, MSELoss,
+                          QualityFocalLoss, SmoothL1Loss, VarifocalLoss,
+                          accuracy)
 
 __all__ = [
     'FocalLoss', 'sigmoid_focal_loss', 'IoULoss', 'GIoULoss',
@@ -16,5 +19,7 @@ __all__ = [
     'LevelsetLoss', 'LocalConsistencyModule', 'region_levelset',
     'length_regularization', 'local_consistency_loss',
     'L1Loss', 'SmoothL1Loss', 'MSELoss', 'GaussianFocalLoss',
-    'VarifocalLoss',
+    'VarifocalLoss', 'BalancedL1Loss', 'QualityFocalLoss',
+    'DistributionFocalLoss', 'KnowledgeDistillationKLDivLoss', 'GHMC',
+    'GHMR', 'accuracy',
 ]
