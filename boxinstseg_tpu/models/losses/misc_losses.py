@@ -291,6 +291,18 @@ class GHMR:
                                                 self.reduction, tot)
 
 
+class Accuracy:
+    """Module-style wrapper over :func:`accuracy` (reference
+    accuracy.py:54-78)."""
+
+    def __init__(self, topk=(1, ), thresh=None):
+        self.topk = topk
+        self.thresh = thresh
+
+    def __call__(self, pred, target):
+        return accuracy(pred, target, self.topk, self.thresh)
+
+
 def accuracy(pred, target, topk=1, thresh=None):
     """Top-k accuracy in percent (reference accuracy.py:7-51)."""
     ks = (topk,) if isinstance(topk, int) else tuple(topk)
