@@ -49,7 +49,6 @@ def max_iou_assign(bboxes: jnp.ndarray,
     """
     overlaps = bbox_overlaps(gt_bboxes, bboxes)          # (k, n)
     overlaps = jnp.where(gt_valid[:, None], overlaps, -1.0)
-    n = bboxes.shape[0]
 
     if ignore_iof_thr > 0 and gt_bboxes_ignore is not None:
         # reference masks ignored candidates' columns to -1 BEFORE any
@@ -60,6 +59,26 @@ def max_iou_assign(bboxes: jnp.ndarray,
             iof = jnp.where(ignore_valid[None, :], iof, 0.0)
         overlaps = jnp.where((iof.max(axis=1) > ignore_iof_thr)[None, :],
                              -1.0, overlaps)
+    return assign_wrt_overlaps(
+        overlaps, gt_valid, pos_iou_thr=pos_iou_thr,
+        neg_iou_thr=neg_iou_thr, min_pos_iou=min_pos_iou,
+        gt_max_assign_all=gt_max_assign_all,
+        match_low_quality=match_low_quality, gt_labels=gt_labels)
+
+
+def assign_wrt_overlaps(overlaps: jnp.ndarray,
+                        gt_valid: jnp.ndarray,
+                        pos_iou_thr: float = 0.5,
+                        neg_iou_thr: Union[float, Tuple[float, float]] = 0.5,
+                        min_pos_iou: float = 0.0,
+                        gt_max_assign_all: bool = True,
+                        match_low_quality: bool = True,
+                        gt_labels: Optional[jnp.ndarray] = None):
+    """MaxIoU assignment from a precomputed (k, n) overlap matrix
+    (reference max_iou_assigner.py:149-218 assign_wrt_overlaps; also the
+    shared tail of ApproxMaxIoUAssigner, approx_max_iou_assigner.py:141).
+    Ignored columns must already be -1."""
+    n = overlaps.shape[1]
 
     max_overlaps = overlaps.max(axis=0)
     argmax_overlaps = overlaps.argmax(axis=0)
@@ -84,11 +103,11 @@ def max_iou_assign(bboxes: jnp.ndarray,
         if gt_max_assign_all:
             claim = overlaps == gt_max[:, None]
         else:
-            k = gt_bboxes.shape[0]
+            k = overlaps.shape[0]
             claim = jnp.zeros_like(overlaps, bool).at[
                 jnp.arange(k), gt_argmax].set(True)
         claim = claim & gt_ok[:, None]
-        gid = jnp.arange(gt_bboxes.shape[0], dtype=jnp.int32)
+        gid = jnp.arange(overlaps.shape[0], dtype=jnp.int32)
         best = jnp.max(jnp.where(claim, gid[:, None] + 1, 0), axis=0)
         assigned = jnp.where(best > 0, best, assigned)
 
