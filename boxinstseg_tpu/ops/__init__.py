@@ -1,3 +1,6 @@
+from .anchors import (AnchorGenerator, LegacyAnchorGenerator,
+                      LegacySSDAnchorGenerator, SSDAnchorGenerator,
+                      YOLOAnchorGenerator)
 from .boxes import (aligned_iou, bbox2distance, bbox_area, bbox_overlaps,
                     distance2bbox)
 from .color import (image_color_similarity, neighbor_offsets, shift2d,
@@ -15,5 +18,7 @@ __all__ = [
     'points_nms_2x2', 'boxinst_pairwise_loss', 'compute_pairwise_term',
     'pairwise_loss', 'concat_points_and_meta', 'level_points',
     'multi_level_points', 'aligned_bilinear', 'avg_pool_stride',
-    'interpolate_bilinear',
+    'interpolate_bilinear', 'AnchorGenerator', 'SSDAnchorGenerator',
+    'LegacyAnchorGenerator', 'LegacySSDAnchorGenerator',
+    'YOLOAnchorGenerator',
 ]

@@ -97,6 +97,7 @@ DETECTORS = Registry('detectors')
 DATASETS = Registry('datasets')
 PIPELINES = Registry('pipelines')
 PLUGINS = Registry('plugins')
+PRIOR_GENERATORS = Registry('prior_generators')
 
 
 def build_backbone(cfg):
