@@ -137,6 +137,8 @@ def train_detector(model, dataset, cfg: Config,
     iters_per_epoch = max(len(dataset) // global_batch, 1)
     iv = resolve_intervals(cfg, iters_per_epoch)
     max_iters = iv['max_iters']
+    iv['train_dataset'] = dataset
+    iv['max_epochs'] = max(max_iters // iters_per_epoch, 1)
 
     base_lr = cfg.optimizer['lr']
     if cfg.get('auto_scale_lr', {}).get('enable', False):
@@ -207,6 +209,10 @@ def train_detector(model, dataset, cfg: Config,
         state, logs = step_fn(state, batch)
         for h in hooks:
             h.after_step(i, state, logs)
+        if (i + 1) % iters_per_epoch == 0:
+            epoch = (i + 1) // iters_per_epoch - 1
+            for h in hooks:
+                h.after_epoch(epoch, state)
     return state
 
 
@@ -252,9 +258,31 @@ def build_hooks(model, cfg: Config, iv: Dict[str, Any], ckpt_dir: str,
             hooks.append(ProfilerHook(h.get('start', 50), h.get('stop', 55),
                                       h.get('log_dir', './profile'),
                                       logger))
-        # NumClassCheckHook handled up-front in train_detector;
-        # SyncNormHook/SyncRandomSizeHook are no-ops under pjit (global
-        # BN stats / static shapes by construction).
+        elif t == 'ExpMomentumEMAHook':
+            from ..engine.hooks import ExpMomentumEMAHook
+            hooks.append(ExpMomentumEMAHook(h.get('momentum', 0.0002),
+                                            h.get('total_iter', 2000),
+                                            h.get('interval', 1)))
+        elif t == 'LinearMomentumEMAHook':
+            from ..engine.hooks import LinearMomentumEMAHook
+            hooks.append(LinearMomentumEMAHook(h.get('momentum', 0.0002),
+                                               h.get('warm_up', 100),
+                                               h.get('interval', 1)))
+        elif t == 'SetEpochInfoHook':
+            from ..engine.hooks import SetEpochInfoHook
+            hooks.append(SetEpochInfoHook(model))
+        elif t == 'YOLOXModeSwitchHook':
+            from ..engine.hooks import YOLOXModeSwitchHook
+            hooks.append(YOLOXModeSwitchHook(
+                h.get('num_last_epochs', 15),
+                h.get('skip_type_keys',
+                      ('Mosaic', 'RandomAffine', 'MixUp')),
+                model, iv.get('train_dataset'),
+                iv.get('max_epochs', 0), logger))
+        elif t in ('SyncNormHook', 'SyncRandomSizeHook'):
+            from ..engine import hooks as _h
+            hooks.append(getattr(_h, t)())
+        # NumClassCheckHook handled up-front in train_detector.
     return hooks
 
 

@@ -106,28 +106,34 @@ class GroupedBatchSampler:
                  shuffle: bool = True):
         self.flags = np.asarray(flags)
         self.batch_size = batch_size
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
         self.shuffle = shuffle
         self.groups = {f: np.nonzero(self.flags == f)[0]
                        for f in np.unique(self.flags)}
-        self._buffers = {f: [] for f in self.groups}
-
-    def _refill(self, f):
-        idx = self.groups[f].copy()
-        if self.shuffle:
-            self.rng.shuffle(idx)
-        self._buffers[f].extend(idx.tolist())
 
     def __iter__(self):
+        # Every iterator gets its OWN rng + buffers so the emitted index
+        # sequence is a pure function of the seed. A shared-state version
+        # raced when two iterators were alive at once (train_detector pulls
+        # one batch for init before the training iterator starts), making
+        # batch order depend on thread timing — and on multi-host, where
+        # every process must emit the SAME global sequence to slice its
+        # shard from, that race could silently desync hosts.
+        rng = np.random.RandomState(self.seed)
+        buffers = {f: [] for f in self.groups}
         order = list(self.groups.keys())
+        sizes = np.array([len(self.groups[f]) for f in order], float)
+        p = sizes / sizes.sum()
         while True:
             # pick a group proportionally to its size
-            sizes = np.array([len(self.groups[f]) for f in order], float)
-            f = order[self.rng.choice(len(order), p=sizes / sizes.sum())]
-            while len(self._buffers[f]) < self.batch_size:
-                self._refill(f)
-            batch = self._buffers[f][:self.batch_size]
-            self._buffers[f] = self._buffers[f][self.batch_size:]
+            f = order[rng.choice(len(order), p=p)]
+            while len(buffers[f]) < self.batch_size:
+                idx = self.groups[f].copy()
+                if self.shuffle:
+                    rng.shuffle(idx)
+                buffers[f].extend(idx.tolist())
+            batch = buffers[f][:self.batch_size]
+            buffers[f] = buffers[f][self.batch_size:]
             yield batch
 
 

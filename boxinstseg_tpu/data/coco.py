@@ -295,9 +295,24 @@ class MultiImageMixDataset:
         from .pipelines import Compose
         self.dataset = _D.build(dataset) if isinstance(dataset, dict) \
             else dataset
+        self._pipeline_cfg = [dict(t) if isinstance(t, dict) else t
+                              for t in pipeline]
         self.pipeline = Compose(pipeline)
+        self._skip_type_keys = ()
         self.CLASSES = self.dataset.CLASSES
         self.flag = self.dataset.flag
+
+    def update_skip_type_keys(self, skip_type_keys):
+        """Drop the named transform types from the pipeline (reference:
+        dataset_wrappers.py MultiImageMixDataset.update_skip_type_keys,
+        driven by YOLOXModeSwitchHook)."""
+        from .pipelines import Compose
+        self._skip_type_keys = tuple(skip_type_keys)
+        kept = [t for t in self._pipeline_cfg
+                if not (isinstance(t, dict)
+                        and t.get('type') in self._skip_type_keys)
+                and type(t).__name__ not in self._skip_type_keys]
+        self.pipeline = Compose(kept)
 
     def __len__(self):
         return len(self.dataset)

@@ -11,9 +11,14 @@ Reference-hook mapping:
 - EvalHook (eval_hooks.py)        -> EvalHook
 - EMAHook (core/hook/ema.py)      -> EMAHook (generic parameter EMA; the
   DiscoBox momentum teacher is engine-native in make_ts_train_step)
+- Exp/LinearMomentumEMAHook       -> momentum-scheduled EMA subclasses
+- SetEpochInfoHook                -> SetEpochInfoHook
+- YOLOXModeSwitchHook             -> YOLOXModeSwitchHook (skip-type keys
+  + use_l1); YOLOXLrUpdaterHook -> engine/schedules.py yolox_lr_schedule
 - NumClassCheckHook               -> num_class_check() (dataset vs head)
 - SyncNormHook / SyncRandomSizeHook: unnecessary under pjit — BN stats
-  and shapes are global by construction (documented no-ops).
+  and shapes are global by construction (no-op classes kept so configs
+  naming them still build).
 - MemoryProfilerHook              -> MemoryProfilerHook (device stats)
 - MMDetWandbHook                  -> WandbLoggerHook (no-ops without wandb)
 """
@@ -139,13 +144,26 @@ class EvalHook(Hook):
 
 
 class EMAHook(Hook):
-    """Generic parameter EMA kept host-side (reference: core/hook/ema.py).
-    For the DiscoBox teacher use make_ts_train_step (EMA inside jit)."""
+    """Generic parameter EMA kept host-side (reference: core/hook/ema.py
+    BaseEMAHook — ema = (1 - m(t)) * ema + m(t) * param). For the
+    DiscoBox teacher use make_ts_train_step (EMA inside jit).
 
-    def __init__(self, momentum: float = 0.999, interval: int = 1):
+    ``momentum`` follows OUR keep-rate convention (ema = m*ema +
+    (1-m)*p, m close to 1); ``momentum_fun(iter)`` — when set by the
+    momentum-scheduled subclasses — returns the reference's update rate
+    m_ref(t), applied as keep-rate 1 - m_ref(t)."""
+
+    def __init__(self, momentum: float = 0.999, interval: int = 1,
+                 momentum_fun=None):
         self.momentum = momentum
         self.interval = interval
+        self.momentum_fun = momentum_fun
         self.ema_params = None
+
+    def _keep_rate(self, i: int) -> float:
+        if self.momentum_fun is not None:
+            return 1.0 - float(self.momentum_fun(i))
+        return self.momentum
 
     def after_step(self, i, state, logs):
         if (i + 1) % self.interval:
@@ -155,10 +173,103 @@ class EMAHook(Hook):
             self.ema_params = jax.tree_util.tree_map(
                 lambda x: x, state.params)
         else:
-            m = self.momentum
+            m = self._keep_rate(i)
             self.ema_params = jax.tree_util.tree_map(
                 lambda e, p: m * e + (1 - m) * p, self.ema_params,
                 state.params)
+
+
+class ExpMomentumEMAHook(EMAHook):
+    """EMA with exponentially decaying update rate (reference ema.py:45-56
+    ExpMomentumEMAHook): m_ref(t) = (1 - m0) * exp(-(1+t)/total) + m0."""
+
+    def __init__(self, momentum: float = 0.0002, total_iter: int = 2000,
+                 interval: int = 1):
+        import math
+        super().__init__(
+            interval=interval,
+            momentum_fun=lambda x: (1 - momentum) * math.exp(
+                -(1 + x) / total_iter) + momentum)
+
+
+class LinearMomentumEMAHook(EMAHook):
+    """EMA with linearly warming update rate (reference ema.py:59-71
+    LinearMomentumEMAHook): m_ref(t) = min(m0^interval, (1+t)/(w*t+1))
+    per-update."""
+
+    def __init__(self, momentum: float = 0.0002, warm_up: int = 100,
+                 interval: int = 1):
+        super().__init__(
+            interval=interval,
+            momentum_fun=lambda x: min(
+                momentum ** interval,
+                (1 + x) / (warm_up + x)))
+
+
+class SetEpochInfoHook(Hook):
+    """Pushes the current epoch into the model (reference:
+    core/hook/set_epoch_info_hook.py calling model.set_epoch). Models
+    that care implement ``set_epoch(epoch)``; the step counter already
+    rides in the TrainState for traced logic."""
+
+    def __init__(self, model=None):
+        self.model = model
+
+    def after_epoch(self, epoch, state):
+        if self.model is not None and hasattr(self.model, 'set_epoch'):
+            self.model.set_epoch(epoch + 1)
+
+
+class SyncNormHook(Hook):
+    """reference: core/hook/sync_norm_hook.py all-reduces BN buffers
+    across ranks before eval. Under a single pjit-compiled global-batch
+    step, norm statistics are computed on the global batch by
+    construction, so this is a documented no-op kept for config
+    compatibility."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+
+class SyncRandomSizeHook(Hook):
+    """reference: core/hook/sync_random_size_hook.py broadcasts a random
+    train-image size across ranks. Static XLA shapes make per-step random
+    sizes a recompile per size; multi-scale is handled by the canvas
+    buckets in the batcher instead. No-op for config compatibility."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+
+class YOLOXModeSwitchHook(Hook):
+    """Disable mosaic/mixup and switch on the head's L1 loss for the last
+    ``num_last_epochs`` (reference: core/hook/yolox_mode_switch_hook.py).
+    Works through MultiImageMixDataset.update_skip_type_keys and a
+    ``use_l1`` attribute on the head when present."""
+
+    def __init__(self, num_last_epochs: int = 15,
+                 skip_type_keys=('Mosaic', 'RandomAffine', 'MixUp'),
+                 model=None, dataset=None, max_epochs: int = 0,
+                 logger=None):
+        from ..utils.logging import get_root_logger
+        self.num_last_epochs = num_last_epochs
+        self.skip_type_keys = tuple(skip_type_keys)
+        self.model = model
+        self.dataset = dataset
+        self.max_epochs = max_epochs
+        self.logger = logger or get_root_logger()
+
+    def after_epoch(self, epoch, state):
+        if (epoch + 2) != self.max_epochs - self.num_last_epochs + 1:
+            return
+        if self.dataset is not None and hasattr(self.dataset,
+                                                'update_skip_type_keys'):
+            self.dataset.update_skip_type_keys(self.skip_type_keys)
+            self.logger.info('No mosaic and mixup aug now!')
+        head = getattr(self.model, 'bbox_head', None)
+        if head is not None and hasattr(head, 'use_l1'):
+            head.use_l1 = True
+            self.logger.info('Add additional L1 loss now!')
 
 
 class MemoryProfilerHook(Hook):

@@ -82,4 +82,60 @@ def build_lr_schedule(lr_config: dict, base_lr: float, iters_per_epoch: int,
     if policy == 'fixed':
         return step_lr_schedule(base_lr, warmup, warmup_iters, warmup_ratio,
                                 (), 1.0)
+    if policy in ('CosineAnnealing', 'cosine'):
+        return cosine_lr_schedule(base_lr, max_iters,
+                                  lr_config.get('min_lr', 0.0),
+                                  lr_config.get('min_lr_ratio'),
+                                  warmup, warmup_iters, warmup_ratio)
+    if policy in ('YOLOX', 'yolox_cosine'):
+        # mmdet YOLOXLrUpdaterHook: quadratic warmup from 0, cosine to
+        # min_lr_ratio, LR frozen for the last num_last_epochs
+        last_iters = int(lr_config.get('num_last_epochs', 15)
+                         * iters_per_epoch)
+        return yolox_lr_schedule(base_lr, max_iters,
+                                 lr_config.get('min_lr_ratio', 0.05),
+                                 warmup_iters, last_iters)
     raise ValueError(f'unsupported lr policy {policy}')
+
+
+def cosine_lr_schedule(base_lr: float, max_iters: int, min_lr: float = 0.0,
+                       min_lr_ratio=None, warmup=None, warmup_iters: int = 0,
+                       warmup_ratio: float = 0.1):
+    """mmcv CosineAnnealingLrUpdaterHook (by_epoch=False form)."""
+    import numpy as np
+    if min_lr_ratio is not None:
+        min_lr = base_lr * min_lr_ratio
+
+    def schedule(count):
+        import jax.numpy as jnp
+        t = jnp.clip(count / max(max_iters, 1), 0.0, 1.0)
+        lr = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(np.pi * t))
+        if warmup == 'linear' and warmup_iters > 0:
+            k = (1 - count / warmup_iters) * (1 - warmup_ratio)
+            lr = jnp.where(count < warmup_iters, base_lr * (1 - k), lr)
+        return lr
+
+    return schedule
+
+
+def yolox_lr_schedule(base_lr: float, max_iters: int,
+                      min_lr_ratio: float = 0.05, warmup_iters: int = 0,
+                      last_iters: int = 0):
+    """mmdet YOLOXLrUpdaterHook: quadratic warmup starting at lr=0, then
+    cosine annealing to base_lr * min_lr_ratio, held constant over the
+    final ``last_iters`` (reference core/hook/yolox_lrupdater_hook.py)."""
+    import numpy as np
+    min_lr = base_lr * min_lr_ratio
+
+    def schedule(count):
+        import jax.numpy as jnp
+        warm = base_lr * (count / max(warmup_iters, 1)) ** 2
+        span = max(max_iters - last_iters - warmup_iters, 1)
+        t = jnp.clip((count - warmup_iters) / span, 0.0, 1.0)
+        cos = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(np.pi * t))
+        lr = jnp.where(count < warmup_iters, warm,
+                       jnp.where(count >= max_iters - last_iters, min_lr,
+                                 cos))
+        return lr
+
+    return schedule
