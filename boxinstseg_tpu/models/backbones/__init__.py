@@ -1,7 +1,7 @@
-from .resnet import ResNet, ResNeXt
+from .resnet import ResNet, ResNetV1d, ResNeXt
 from .swin import SwinTransformer
 
-__all__ = ['ResNet', 'ResNeXt', 'SwinTransformer']
+__all__ = ['ResNet', 'ResNetV1d', 'ResNeXt', 'SwinTransformer']
 from .pvt import (PyramidVisionTransformer,
                   PyramidVisionTransformerV2)
 from .resnest import ResNeSt

@@ -27,10 +27,29 @@ _ARCH = {
 }
 
 
+def _avg_pool_ceil(x, k, s):
+    """torch AvgPool2d(kernel=k, stride=s, ceil_mode=True,
+    count_include_pad=False) for NHWC (the V1d avg_down pooling,
+    reference resnet.py ResLayer avg_down branch)."""
+    import jax.lax as lax
+    h, w = x.shape[1], x.shape[2]
+    oh = -(-h // s)
+    ow = -(-w // s)
+    pad_h = max((oh - 1) * s + k - h, 0)
+    pad_w = max((ow - 1) * s + k - w, 0)
+    dims, strides = (1, k, k, 1), (1, s, s, 1)
+    pads = [(0, 0), (0, pad_h), (0, pad_w), (0, 0)]
+    sums = lax.reduce_window(x, 0.0, lax.add, dims, strides, pads)
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+    cnt = lax.reduce_window(ones, 0.0, lax.add, dims, strides, pads)
+    return sums / cnt
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     has_downsample: bool = False
+    avg_down: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -42,8 +61,12 @@ class BasicBlock(nn.Module):
         out = Conv2d(self.planes, 3, 1, 1, use_bias=False, name='conv2')(out)
         out = FrozenBatchNorm(self.planes, name='bn2')(out)
         if self.has_downsample:
-            identity = Conv2d(self.planes, 1, self.stride, 0, use_bias=False,
-                              name='downsample_conv')(x)
+            identity = x
+            if self.avg_down and self.stride != 1:
+                identity = _avg_pool_ceil(identity, self.stride, self.stride)
+            identity = Conv2d(self.planes, 1,
+                              1 if self.avg_down else self.stride, 0,
+                              use_bias=False, name='downsample_conv')(identity)
             identity = FrozenBatchNorm(self.planes, name='downsample_bn')(
                 identity)
         return jax.nn.relu(out + identity)
@@ -53,6 +76,7 @@ class Bottleneck(nn.Module):
     planes: int           # bottleneck width; output is planes * 4
     stride: int = 1
     has_downsample: bool = False
+    avg_down: bool = False
     groups: int = 1
     base_width: int = 64
 
@@ -72,8 +96,12 @@ class Bottleneck(nn.Module):
         out = Conv2d(out_planes, 1, 1, 0, use_bias=False, name='conv3')(out)
         out = FrozenBatchNorm(out_planes, name='bn3')(out)
         if self.has_downsample:
-            identity = Conv2d(out_planes, 1, self.stride, 0, use_bias=False,
-                              name='downsample_conv')(x)
+            identity = x
+            if self.avg_down and self.stride != 1:
+                identity = _avg_pool_ceil(identity, self.stride, self.stride)
+            identity = Conv2d(out_planes, 1,
+                              1 if self.avg_down else self.stride, 0,
+                              use_bias=False, name='downsample_conv')(identity)
             identity = FrozenBatchNorm(out_planes, name='downsample_bn')(
                 identity)
         return jax.nn.relu(out + identity)
@@ -92,6 +120,9 @@ class ResNet(nn.Module):
     norm_cfg: Optional[dict] = None    # BN is always frozen (norm_eval)
     norm_eval: bool = True
     style: str = 'pytorch'
+    deep_stem: bool = False       # V1d: three 3x3 convs instead of the 7x7
+    avg_down: bool = False        # V1d: avgpool shortcut downsampling
+    stem_channels: int = 64
     init_cfg: Optional[dict] = None
     compute_dtype: jnp.dtype = jnp.float32
 
@@ -102,9 +133,19 @@ class ResNet(nn.Module):
         expansion = 4 if block_type == 'bottleneck' else 1
 
         x = x.astype(self.compute_dtype)
-        x = Conv2d(64, 7, 2, 3, use_bias=False, name='conv1')(x)
-        x = FrozenBatchNorm(64, name='bn1')(x)
-        x = jax.nn.relu(x)
+        if self.deep_stem:
+            # reference resnet.py make_stem_layer deep_stem branch
+            c = self.stem_channels
+            for i, (feats, stride) in enumerate(((c // 2, 2), (c // 2, 1),
+                                                 (c, 1))):
+                x = Conv2d(feats, 3, stride, 1, use_bias=False,
+                           name=f'stem_conv{i}')(x)
+                x = FrozenBatchNorm(feats, name=f'stem_bn{i}')(x)
+                x = jax.nn.relu(x)
+        else:
+            x = Conv2d(64, 7, 2, 3, use_bias=False, name='conv1')(x)
+            x = FrozenBatchNorm(64, name='bn1')(x)
+            x = jax.nn.relu(x)
         x = max_pool_torch(x, 3, 2, 1)
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
@@ -122,6 +163,7 @@ class ResNet(nn.Module):
                     stride=stride if b == 0 else 1,
                     has_downsample=has_down,
                     name=f'layer{stage_idx + 1}_{b}',
+                    avg_down=self.avg_down,
                     **({'groups': self.groups, 'base_width': self.base_width}
                        if block_type == 'bottleneck' else {}),
                 )(x)
@@ -137,3 +179,11 @@ class ResNeXt(ResNet):
     """ResNeXt: grouped bottlenecks (reference: backbones/resnext.py)."""
     groups: int = 32
     base_width: int = 4
+
+
+@BACKBONES.register_module()
+class ResNetV1d(ResNet):
+    """ResNet V1d (reference resnet.py:320-672 deep_stem/avg_down
+    options): 3x 3x3 stem convs and average-pool shortcut downsampling."""
+    deep_stem: bool = True
+    avg_down: bool = True
