@@ -38,7 +38,9 @@ class TrainLoader:
         self.batcher = batcher
         self.sampler = GroupedBatchSampler(dataset.flag, batch_size,
                                            seed=seed)
-        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        # workers_per_gpu=0 means "load in-process" in the reference;
+        # threads are cheap here, so it just becomes one worker thread
+        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
         self.prefetch = prefetch
         self.seed = seed
 
@@ -85,7 +87,9 @@ class EvalLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.batcher = batcher
-        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        # workers_per_gpu=0 means "load in-process" in the reference;
+        # threads are cheap here, so it just becomes one worker thread
+        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size

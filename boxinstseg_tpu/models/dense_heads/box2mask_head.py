@@ -29,7 +29,9 @@ import flax.linen as nn
 import numpy as np
 
 from ..layers import Conv2d, Dense, LayerNorm
-from ..losses.levelset_loss import LocalConsistencyModule, region_levelset
+from ..losses.levelset_loss import (LocalConsistencyModule,
+                                    region_levelset,
+                                    region_levelset_shared)
 from ..plugins.msdeformattn_pixel_decoder import MSDeformAttnPixelDecoder
 from ..utils.positional_encoding import SinePositionalEncoding
 from ..utils.transformer import DetrTransformerDecoderLayer
@@ -224,7 +226,7 @@ class Box2MaskHead(nn.Module):
         cls_stack = jnp.stack(outs['cls'])          # (L, B, Q, C+1)
         embed_stack = jnp.stack(outs['mask_embeds'])  # (L, B, Q, C)
         mask_feature = outs['mask_feature']         # (B, H4, W4, C)
-        img_t = img4.transpose(0, 3, 1, 2)[:, None] * k_maskf[:, :, None]
+        img_t = img4.transpose(0, 3, 1, 2)          # (B, 3, h4, w4) shared
         pix = jnp.maximum(k_maskf.sum(axis=(2, 3)), 1.0)
 
         def layer_losses(args):
@@ -270,14 +272,10 @@ class Box2MaskHead(nn.Module):
             loss_project = box_w * ((d1(px, tx) + d1(py, ty)) * mv
                                     ).sum() / mdenom
 
-            # image level-set x0.05
-            phi = jnp.stack([mscore, 1.0 - mscore], axis=2) * \
-                k_maskf[:, :, None]
-            ls_img = region_levelset(
-                phi.reshape(B * K, 2, h4, w4),
-                img_t.reshape(B * K, 3, h4, w4)) / pix.reshape(-1)
-            loss_img = 0.05 * ls_w * (ls_img * mv.reshape(-1)
-                                      ).sum() / mdenom
+            # image level-set x0.05 — shared-target einsum form (no
+            # (B, K, 3, h, w) materialization per decoder layer)
+            ls_img = region_levelset_shared(mscore, k_maskf, img_t) / pix
+            loss_img = 0.05 * ls_w * (ls_img * mv).sum() / mdenom
 
             m96 = interpolate_bilinear(
                 mscore.transpose(0, 2, 3, 1), (th, tw))  # (B,t,t,K)

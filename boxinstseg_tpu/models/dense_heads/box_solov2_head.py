@@ -28,7 +28,8 @@ import numpy as np
 
 from ..layers import Conv2d, ConvModule, normal_conv_init, \
     bias_init_with_prob
-from ..losses.levelset_loss import region_levelset
+from ..losses.levelset_loss import (region_levelset,
+                                    region_levelset_shared)
 from ...core.targets.solo import sample_positive_cells, solo_targets
 from ...ops.nms import mask_matrix_nms, points_nms_2x2
 from ...ops.upsample import interpolate_bilinear
@@ -218,7 +219,7 @@ class BoxSOLOv2Head(nn.Module):
         box_mask = jax.lax.stop_gradient(box_mask)
         vmask = valid.astype(jnp.float32)
 
-        mask_scores = jax.nn.sigmoid(mask_logits)
+        mask_scores = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
         # --- projection loss (per instance, masked mean; reference
         # weights it via loss_weight and takes the mean)
         prj = loss_boxpro_fn(
@@ -228,20 +229,16 @@ class BoxSOLOv2Head(nn.Module):
         loss_project = prj.sum() / jnp.maximum(vmask.sum(), 1.0)
 
         # --- level-set losses
-        fg = mask_scores[:, :, None]                             # (B,K,1,h,w)
-        bg = 1.0 - fg
-        phi = jnp.concatenate([fg, bg], axis=2) * box_mask[:, :, None]
         pixel_num = jnp.maximum(box_mask.sum(axis=(2, 3)), 1.0)  # (B,K)
 
-        # image term x0.05 at stride 4
+        # image term x0.05 at stride 4 — shared-target einsum form (no
+        # (B, K, 3, h, w) materialization; see region_levelset_shared)
         img_t = jax.lax.stop_gradient(
             interpolate_bilinear(batch['image'], (h4, w4)))
         img_t = img_t.transpose(0, 3, 1, 2)                      # (B,3,h,w)
-        img_per_inst = img_t[:, None] * box_mask[:, :, None]     # (B,K,3,h,w)
-        ls_img = region_levelset(
-            phi.reshape(B * K, 2, h4, w4),
-            img_per_inst.reshape(B * K, 3, h4, w4)) / pixel_num.reshape(-1)
-        ls_img = (ls_img * vmask.reshape(-1))
+        ls_img = region_levelset_shared(mask_scores, box_mask,
+                                        img_t) / pixel_num
+        ls_img = (ls_img * vmask).reshape(-1)
 
         # tree-filtered structural term x5.0 at tf_size
         th, tw = self.tf_size

@@ -8,8 +8,8 @@ from .cross_entropy_loss import CrossEntropyLoss, binary_cross_entropy_with_logi
 from .dice_loss import DiceLoss, dice_coefficient
 from .projection import compute_project_term, BoxProjectionLoss
 from .levelset_loss import (LevelsetLoss, LocalConsistencyModule,
-                            region_levelset, length_regularization,
-                            local_consistency_loss)
+                            region_levelset, region_levelset_shared,
+                            length_regularization, local_consistency_loss)
 from .misc_losses import (GHMC, GHMR, Accuracy, BalancedL1Loss,
                           DistributionFocalLoss, GaussianFocalLoss,
                           KnowledgeDistillationKLDivLoss, L1Loss, MSELoss,
@@ -21,6 +21,7 @@ __all__ = [
     'CrossEntropyLoss', 'binary_cross_entropy_with_logits', 'DiceLoss',
     'dice_coefficient', 'compute_project_term', 'BoxProjectionLoss',
     'LevelsetLoss', 'LocalConsistencyModule', 'region_levelset',
+    'region_levelset_shared',
     'length_regularization', 'local_consistency_loss',
     'L1Loss', 'SmoothL1Loss', 'MSELoss', 'GaussianFocalLoss',
     'VarifocalLoss', 'BalancedL1Loss', 'QualityFocalLoss',

@@ -46,6 +46,50 @@ def region_levelset(mask_score: jnp.ndarray, lst_target: jnp.ndarray
     return energy.sum(axis=(1, 2, 3)) / lst_target.shape[1]
 
 
+def region_levelset_shared(fg: jnp.ndarray, box: jnp.ndarray,
+                           img: jnp.ndarray) -> jnp.ndarray:
+    """Chan-Vese region energy against a SHARED per-image target,
+    algebraically identical to ``region_levelset(stack([s, 1-s]) * box,
+    img[:, None] * box)`` but without ever materializing the
+    (B, K, C, H, W) per-instance image tensor.
+
+    Expanding the energy with interior = SUM(I F)/SUM(F):
+      E_c = SUM(I_c^2 F) - interior_c^2 SUM(F)
+          + SUM(I_c^2 G) - exterior_c^2 SUM(G)
+    so only per-instance inner products <I, F>, <I^2, F>, <I, box>,
+    <I^2, box> are needed — four einsums that run on the MXU. At
+    BoxLevelset's (B=4, K=196, 200x336) shapes this replaces ~600 MB of
+    HBM traffic with ~1.3 GFLOP of matmul.
+
+    Args:
+      fg:  (B, K, H, W) predicted foreground phi (sigmoid scores).
+      box: (B, K, H, W) binary box masks.
+      img: (B, C, H, W) shared target (image channels).
+    Returns:
+      (B, K) per-instance energy, averaged over target channels.
+    """
+    f = fg * box                                   # (B, K, H, W)
+    fs = jnp.clip(f.sum(axis=(2, 3)), 1e-5)        # (B, K)
+    bs = box.sum(axis=(2, 3))
+    gs = jnp.clip(bs - f.sum(axis=(2, 3)), 1e-5)
+
+    img2 = img * img
+    a = jnp.einsum('bchw,bkhw->bkc', img, f,
+                   preferred_element_type=jnp.float32)
+    a2 = jnp.einsum('bchw,bkhw->bkc', img2, f,
+                    preferred_element_type=jnp.float32)
+    ib = jnp.einsum('bchw,bkhw->bkc', img, box,
+                    preferred_element_type=jnp.float32)
+    ib2 = jnp.einsum('bchw,bkhw->bkc', img2, box,
+                     preferred_element_type=jnp.float32)
+
+    interior = a / fs[..., None]
+    exterior = (ib - a) / gs[..., None]
+    energy = (a2 - interior ** 2 * fs[..., None]
+              + (ib2 - a2) - exterior ** 2 * gs[..., None])
+    return energy.sum(-1) / img.shape[1]
+
+
 def length_regularization(mask_score: jnp.ndarray) -> jnp.ndarray:
     """Curve length of phi via abs forward differences; (N, C, H, W) -> (N,)."""
     gh = jnp.abs(mask_score[:, :, 1:, :] - mask_score[:, :, :-1, :])

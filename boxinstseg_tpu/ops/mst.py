@@ -76,12 +76,24 @@ def grid_neighbors(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def boruvka_mst(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
-                n: int) -> jnp.ndarray:
+                n: int,
+                node_eid: jnp.ndarray = None,
+                node_slot_valid: jnp.ndarray = None) -> jnp.ndarray:
     """MST edge selection for one connected graph.
+
+    TPU cost note: the naive formulation does four float scatter-mins
+    over the edge list per round — measured ~4 ms each on v5e, ~230 ms
+    per step batch. Here the (weight, index) lexicographic order is
+    precomputed ONCE as an int32 rank (sort), each node pre-reduces its
+    incident edges with static-table gathers, and each round does a
+    single int32 scatter-min over nodes.
 
     Args:
       src, dst: (E,) int32 endpoints. weights: (E,) float32.
       n: number of nodes (static).
+      node_eid: optional (N, S) static incident-edge table per node;
+        node_slot_valid: (N, S) bool. When absent they are derived by
+        scatter (generic graphs).
     Returns:
       chosen: (E,) bool — True for the n-1 tree edges.
     """
@@ -89,46 +101,54 @@ def boruvka_mst(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
     eidx = jnp.arange(e, dtype=jnp.int32)
     nodes = jnp.arange(n, dtype=jnp.int32)
     rounds = max(int(np.ceil(np.log2(max(n, 2)))), 1)
-    inf = jnp.float32(np.inf)
 
-    def round_fn(carry, _):
+    # total (weight, index) order as int32 ranks: order[r] = edge with
+    # rank r; rank[e] = r. Stable argsort keeps index tie-breaking.
+    order = jnp.argsort(weights, stable=True).astype(jnp.int32)
+    rank = jnp.argsort(order).astype(jnp.int32)
+
+    if node_eid is None:
+        raise ValueError('boruvka_mst needs the static per-node incident '
+                         'tables (node_eid, node_slot_valid) — for grids '
+                         'use grid_neighbors(h, w)')
+    s_eid = node_eid
+    s_valid = node_slot_valid
+
+    def round_fn(carry):
         lbl, chosen = carry
         cs, cd = lbl[src], lbl[dst]
         live = cs != cd
-        wl = jnp.where(live, weights, inf)
+        r = jnp.where(live, rank, e)                     # (E,) int32
 
-        # per-component minimal outgoing weight, then min edge index among
-        # weight-minimal edges (lexicographic (w, idx) selection)
-        best_w = jnp.full((n,), inf).at[cs].min(wl).at[cd].min(wl)
-        cand_s = jnp.where(live & (wl == best_w[cs]), eidx, e)
-        cand_d = jnp.where(live & (wl == best_w[cd]), eidx, e)
-        best_i = jnp.full((n,), e, jnp.int32).at[cs].min(cand_s) \
-                                             .at[cd].min(cand_d)
-        has = best_i < e
-        e_sel = jnp.minimum(best_i, e - 1)
+        # node-centric pre-min over the static incident slots (gathers)
+        rn = jnp.where(s_valid, r[s_eid], e).min(axis=1)  # (N,)
+        # per-component min: ONE int32 scatter-min keyed by label
+        rmin = jnp.full((n,), e, jnp.int32).at[lbl].min(rn)
+        has = rmin < e
+        e_sel = order[jnp.minimum(rmin, e - 1)]           # (N,) edge ids
 
-        mark = jnp.zeros((e,), jnp.int32).at[
-            jnp.where(has, best_i, 0)].max(has.astype(jnp.int32))
-        chosen = chosen | (mark > 0)
+        chosen = chosen.at[jnp.where(has, e_sel, 0)].max(has)
 
-        # hook each component to its partner's label (smaller label wins),
-        # then propagate the min label to convergence so next round's
-        # selection sees exact components
+        # hook each component TO its partner (so every chosen edge merges
+        # its two components this round — guaranteeing components at least
+        # halve per round). The total (weight, idx) order makes mutual
+        # 2-cycles the only possible cycles; break them to the smaller
+        # label, which becomes the hook-tree root.
         a, b = cs[e_sel], cd[e_sel]
         partner = jnp.where(has, a + b - nodes, nodes)
-        ptr = jnp.minimum(nodes, partner)
+        mutual = partner[partner] == nodes
+        ptr = jnp.where(mutual & (nodes < partner), nodes, partner)
 
         def prop_cond(s):
             return s[1]
 
         def prop_body(s):
             p, _ = s
-            p2 = jnp.minimum(p, p[p])                # path compression
-            p3 = jnp.minimum(p2, p2[partner])        # relax hook edges
-            return p3, jnp.any(p3 != p)
+            p2 = p[p]                                # pointer jumping
+            return p2, jnp.any(p2 != p)
 
         ptr, _ = jax.lax.while_loop(prop_cond, prop_body, (ptr, True))
-        return (ptr[lbl], chosen), None
+        return ptr[lbl], chosen
 
     lbl0 = nodes
     chosen0 = jnp.zeros((e,), bool)
@@ -141,7 +161,7 @@ def boruvka_mst(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
 
     def body(carry):
         lbl, chosen, i = carry
-        (lbl, chosen), _ = round_fn((lbl, chosen), None)
+        lbl, chosen = round_fn((lbl, chosen))
         return lbl, chosen, i + 1
 
     _, chosen, _ = jax.lax.while_loop(cond, body,
@@ -149,16 +169,105 @@ def boruvka_mst(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
     return chosen
 
 
+def root_tree_euler(nbr: jnp.ndarray, eid: jnp.ndarray,
+                    chosen: jnp.ndarray, n: int, max_depth: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Root the chosen-edge tree at node 0 via an Euler tour +
+    pointer-doubling list ranking — O(log N) rounds of pure gathers.
+
+    The BFS formulation walked ``max_depth`` (512) sequential frontier
+    levels (~440 ms per BoxLevelset step on v5e); the Euler tour of the
+    2(N-1) arcs is ranked in ceil(log2 4N) (~16) doubling rounds instead:
+
+    1. arcs are (node, slot) pairs over the STATIC 4-slot neighbor table;
+       twin(a) flips the slot (left<->right, up<->down);
+    2. succ(a=(u->v)) = the next existing arc out of v cyclically after
+       twin slot — the classic Euler-tour successor;
+    3. cutting the cycle at the first arc out of the root and suffix-
+       summing (+1 down / -1 up after a first ranking pass) gives, per
+       node, its unique discovery arc -> (parent, depth) exactly.
+
+    Nodes deeper than ``max_depth`` (beyond the downstream scan budget)
+    are detached into isolated roots, matching the BFS semantics.
+    """
+    n4 = 4 * n
+    ids = jnp.arange(n4, dtype=jnp.int32)
+    twin_slot = jnp.asarray([1, 0, 3, 2], jnp.int32)
+
+    exist = chosen[eid] & (nbr >= 0)                        # (N, 4)
+    nbr_safe = jnp.maximum(nbr, 0)
+    u_of = ids // 4                                         # (4N,)
+    s_of = ids % 4
+    valid = exist.reshape(-1)                               # (4N,)
+    v_of = nbr_safe.reshape(-1)                             # arc target
+
+    # twin arc id: (v, twin_slot[s])
+    twin = v_of * 4 + twin_slot[s_of]
+
+    # succ(a) = first existing arc out of v after twin slot, cyclically
+    cand = (twin_slot[s_of][:, None] + jnp.arange(1, 5,
+                                                  dtype=jnp.int32)[None]) % 4
+    ok = jnp.take_along_axis(exist[v_of], cand, axis=1)      # (4N, 4)
+    pick = jnp.argmax(ok, axis=1)
+    succ_slot = jnp.take_along_axis(cand, pick[:, None], axis=1)[:, 0]
+    succ = jnp.where(valid, v_of * 4 + succ_slot, ids)
+
+    # cut the tour at a0 = first existing arc out of node 0
+    a0 = jnp.argmax(exist[0]).astype(jnp.int32)             # slot of node 0
+    nxt = jnp.where((succ == a0) | ~valid, ids, succ)
+
+    rounds = max(int(np.ceil(np.log2(max(n4, 2)))), 1)
+
+    def suffix_sum(vals):
+        """S(a) = sum of vals over the list from a to the end, inclusive
+        (pointer-doubling with alive flags, like ops/tree_filter)."""
+        def body(carry, _):
+            s, p, alive = carry
+            s = s + jnp.where(alive, s[p], 0)
+            alive = alive & alive[p]
+            p = p[p]
+            return (s, p, alive), None
+        (s, _, _), _ = jax.lax.scan(
+            body, (vals, nxt, nxt != ids), None, length=rounds)
+        return s
+
+    # pass 1: d(a) = #arcs from a to the end (inclusive) -> order compare
+    d = suffix_sum(jnp.where(valid, 1, 0).astype(jnp.int32))
+    # a is the FIRST traversal of its edge iff it comes earlier than its
+    # twin, i.e. has the longer suffix
+    down = valid & (d > d[twin])
+
+    # pass 2: depth prefix sums of +1 (down) / -1 (up)
+    val = jnp.where(down, 1, jnp.where(valid, -1, 0)).astype(jnp.int32)
+    s2 = suffix_sum(val)
+    prefix_incl = val - s2          # total sum over the tour is 0
+
+    # each node's unique discovery arc writes (parent, depth): unique
+    # targets -> cheap scatter
+    tgt = jnp.where(down, v_of, n)          # dump slot n
+    parent = jnp.full((n + 1,), 0, jnp.int32).at[tgt].max(
+        jnp.where(down, u_of, 0))[:n]
+    depth = jnp.zeros((n + 1,), jnp.int32).at[tgt].max(
+        jnp.where(down, prefix_incl, 0))[:n]
+    parent = parent.at[0].set(0)
+    depth = depth.at[0].set(0)
+
+    # beyond-budget nodes become isolated roots (BFS-truncation semantics)
+    over = depth > max_depth
+    parent = jnp.where(over, jnp.arange(n, dtype=jnp.int32), parent)
+    depth = jnp.where(over, 0, depth)
+    return parent, depth
+
+
 def root_tree(nbr: jnp.ndarray, eid: jnp.ndarray, chosen: jnp.ndarray,
               n: int, max_depth: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Root the chosen-edge tree at node 0 by gather-only BFS.
 
-    Per node the 4 grid neighbors and their edge ids are STATIC tables
-    (``grid_neighbors``), so each level is a handful of (N, 4) gathers —
-    no scatters (TPU scatter lowering dominated the old edge-list
-    formulation). Returns (parent, depth), (n,) int32 each; parent[0] = 0;
-    nodes deeper than ``max_depth`` (beyond the downstream scan budget
-    anyway) stay isolated roots.
+    Kept as the oracle/reference implementation (root_tree_euler is the
+    fast path); each level is a handful of (N, 4) gathers. Returns
+    (parent, depth), (n,) int32 each; parent[0] = 0; nodes deeper than
+    ``max_depth`` (beyond the downstream scan budget anyway) stay
+    isolated roots.
     """
     # per-(node, slot): is this slot a tree edge to a valid neighbor
     nbr_safe = jnp.maximum(nbr, 0)
@@ -192,6 +301,11 @@ def root_tree(nbr: jnp.ndarray, eid: jnp.ndarray, chosen: jnp.ndarray,
         jnp.arange(1, n_steps * unroll + 1, unroll, dtype=jnp.int32))
     parent = jnp.where(known, parent, jnp.arange(n, dtype=jnp.int32))
     parent = parent.at[0].set(0)
+    # exact-budget truncation (the unrolled loop may overrun max_depth by
+    # up to unroll-1 levels; detach those, matching root_tree_euler)
+    over = depth > max_depth
+    parent = jnp.where(over, jnp.arange(n, dtype=jnp.int32), parent)
+    depth = jnp.where(over, 0, depth)
     return parent, depth
 
 
@@ -218,7 +332,8 @@ def grid_mst_device(w_right: jnp.ndarray, w_down: jnp.ndarray,
         [w_right.reshape(b, -1), w_down.reshape(b, -1)], axis=1)
 
     def per_image(wgt):
-        chosen = boruvka_mst(src, dst, wgt, n)
-        return root_tree(nbr, eid, chosen, n, max_depth)
+        chosen = boruvka_mst(src, dst, wgt, n, node_eid=eid,
+                             node_slot_valid=jnp.asarray(nbr_np >= 0))
+        return root_tree_euler(nbr, eid, chosen, n, max_depth)
 
     return jax.vmap(per_image)(weights.astype(jnp.float32))

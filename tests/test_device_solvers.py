@@ -66,18 +66,48 @@ def test_hungarian_match_respects_padding(rng):
 def test_boruvka_matches_scipy(rng):
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import minimum_spanning_tree
-    from boxinstseg_tpu.ops.mst import boruvka_mst, grid_edges
+    from boxinstseg_tpu.ops.mst import (boruvka_mst, grid_edges,
+                                        grid_neighbors)
     for h, w in [(4, 4), (9, 6), (16, 16), (2, 25)]:
         n = h * w
         src, dst = grid_edges(h, w)
-        wgt = (rng.rand(len(src)) * 10).astype(np.float32)
-        chosen = np.asarray(jax.jit(
-            lambda W: boruvka_mst(jnp.asarray(src), jnp.asarray(dst), W, n)
-        )(jnp.asarray(wgt)))
-        assert chosen.sum() == n - 1
-        ref = minimum_spanning_tree(
-            coo_matrix((wgt + 1.0, (src, dst)), shape=(n, n))).sum() - (n - 1)
-        np.testing.assert_allclose(wgt[chosen].sum(), ref, rtol=1e-4)
+        nbr, eid = grid_neighbors(h, w)
+        solve = jax.jit(
+            lambda W: boruvka_mst(jnp.asarray(src), jnp.asarray(dst), W, n,
+                                  node_eid=jnp.asarray(eid),
+                                  node_slot_valid=jnp.asarray(nbr >= 0)))
+        # several draws per shape: a round-budget stall (merge slower than
+        # components-halve-per-round) only shows on some weight orders
+        for _ in range(5):
+            wgt = (rng.rand(len(src)) * 10).astype(np.float32)
+            chosen = np.asarray(solve(jnp.asarray(wgt)))
+            assert chosen.sum() == n - 1
+            ref = minimum_spanning_tree(coo_matrix(
+                (wgt + 1.0, (src, dst)), shape=(n, n))).sum() - (n - 1)
+            np.testing.assert_allclose(wgt[chosen].sum(), ref, rtol=1e-4)
+
+
+def test_euler_rooting_matches_bfs_oracle(rng):
+    """root_tree_euler (fast path) must produce the exact parent/depth
+    arrays of the gather-only BFS oracle, incl. max_depth truncation."""
+    from boxinstseg_tpu.ops.mst import (boruvka_mst, grid_edges,
+                                        grid_neighbors, root_tree,
+                                        root_tree_euler)
+    for h, w, max_depth in [(7, 9, 200), (12, 10, 1000), (16, 16, 18)]:
+        n = h * w
+        src, dst = grid_edges(h, w)
+        nbr, eid = grid_neighbors(h, w)
+        wgt = jnp.asarray((rng.rand(len(src)) * 10).astype(np.float32))
+        nbr_j, eid_j = jnp.asarray(nbr), jnp.asarray(eid)
+        chosen = jax.jit(lambda W: boruvka_mst(
+            jnp.asarray(src), jnp.asarray(dst), W, n, node_eid=eid_j,
+            node_slot_valid=nbr_j >= 0))(wgt)
+        p_ref, d_ref = jax.jit(lambda c: root_tree(
+            nbr_j, eid_j, c, n, max_depth))(chosen)
+        p_got, d_got = jax.jit(lambda c: root_tree_euler(
+            nbr_j, eid_j, c, n, max_depth))(chosen)
+        np.testing.assert_array_equal(np.asarray(d_got), np.asarray(d_ref))
+        np.testing.assert_array_equal(np.asarray(p_got), np.asarray(p_ref))
 
 
 def test_grid_mst_device_rooting(rng):

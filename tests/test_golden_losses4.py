@@ -229,3 +229,33 @@ def test_golden_isr_p():
         our_ce, lambda r, d: r + d, k=2, bias=0, num_class=C)
     np.testing.assert_allclose(np.asarray(our_w), ref_w.numpy(),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_region_levelset_shared_equivalence():
+    """region_levelset_shared must equal the materialized reference form
+    (stack([s, 1-s]) * box  vs  img * box per instance)."""
+    from boxinstseg_tpu.models.losses import (region_levelset,
+                                              region_levelset_shared)
+    rng = np.random.default_rng(10)
+    B, K, C, H, W = 2, 5, 3, 12, 14
+    s = jnp.asarray(rng.random((B, K, H, W)).astype(np.float32))
+    box = jnp.asarray((rng.random((B, K, H, W)) > 0.4)
+                      .astype(np.float32))
+    img = jnp.asarray(rng.standard_normal((B, C, H, W))
+                      .astype(np.float32))
+    phi = jnp.stack([s, 1.0 - s], axis=2) * box[:, :, None]
+    img_pi = img[:, None] * box[:, :, None]
+    want = region_levelset(phi.reshape(B * K, 2, H, W),
+                           img_pi.reshape(B * K, C, H, W))
+    got = region_levelset_shared(s, box, img).reshape(-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # gradients through the phi path must match too
+    g_want = jax.grad(lambda ss: region_levelset(
+        (jnp.stack([ss, 1.0 - ss], 2) * box[:, :, None]).reshape(
+            B * K, 2, H, W),
+        img_pi.reshape(B * K, C, H, W)).sum())(s)
+    g_got = jax.grad(lambda ss: region_levelset_shared(
+        ss, box, img).sum())(s)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=2e-3, atol=2e-4)
