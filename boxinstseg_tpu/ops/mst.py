@@ -122,8 +122,12 @@ def boruvka_mst(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
 
         # node-centric pre-min over the static incident slots (gathers)
         rn = jnp.where(s_valid, r[s_eid], e).min(axis=1)  # (N,)
-        # per-component min: ONE int32 scatter-min keyed by label
-        rmin = jnp.full((n,), e, jnp.int32).at[lbl].min(rn)
+        # per-component min: ONE scatter-min keyed by label. The scatter
+        # runs in f32 — ranks < E < 2^24 are exact, and XLA's TPU i32
+        # scatter-min lowers to a serial loop (~170 ms at 96x96 vs ~4 ms
+        # for the f32 one; measured on v5e)
+        rmin = jnp.full((n,), e, jnp.float32).at[lbl].min(
+            rn.astype(jnp.float32)).astype(jnp.int32)
         has = rmin < e
         e_sel = order[jnp.minimum(rmin, e - 1)]           # (N,) edge ids
 
