@@ -92,8 +92,11 @@ def make_train_step(model, tx: optax.GradientTransformation,
         if batch_stats is not None:
             variables['batch_stats'] = batch_stats
             mutable = ['batch_stats']
+        # NOTE: mutable=[] would still make flax return an (out, {})
+        # tuple — pass False when the model carries no batch_stats at
+        # all (Swin backbones have no BN; caught on the Swin-L config)
         out = model.apply(variables, batch, step, method=model.loss,
-                          mutable=mutable)
+                          mutable=mutable or False)
         if mutable:
             losses, new_state = out
             new_bs = new_state.get('batch_stats')
@@ -158,7 +161,7 @@ def make_ts_train_step(model, tx: optax.GradientTransformation,
             variables['batch_stats'] = batch_stats
             mutable = ['batch_stats']
         out = model.apply(variables, batch, step, teacher_out, gates,
-                          bank, method=model.loss, mutable=mutable)
+                          bank, method=model.loss, mutable=mutable or False)
         if mutable:
             losses, new_state = out
             new_bs = new_state.get('batch_stats')

