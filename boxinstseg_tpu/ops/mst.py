@@ -75,69 +75,70 @@ def grid_neighbors(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
     return nbr, eid
 
 
-def boruvka_mst(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
-                n: int,
-                node_eid: jnp.ndarray = None,
-                node_slot_valid: jnp.ndarray = None) -> jnp.ndarray:
-    """MST edge selection for one connected graph.
+def boruvka_mst_batched(weights: jnp.ndarray, src: jnp.ndarray,
+                        dst: jnp.ndarray, n: int, node_eid: jnp.ndarray,
+                        node_slot_valid: jnp.ndarray) -> jnp.ndarray:
+    """Parallel Boruvka over a BATCH of same-topology graphs, run as ONE
+    flat block-diagonal graph (nodes of image b live at [b*n, (b+1)*n)).
 
-    TPU cost note: the naive formulation does four float scatter-mins
-    over the edge list per round — measured ~4 ms each on v5e, ~230 ms
-    per step batch. Here the (weight, index) lexicographic order is
-    precomputed ONCE as an int32 rank (sort), each node pre-reduces its
-    incident edges with static-table gathers, and each round does a
-    single int32 scatter-min over nodes.
+    TPU cost notes (all measured on v5e at 96x96):
+    - vmapping the per-graph solver makes every gather/scatter carry a
+      batch dim, which XLA lowers to a serial per-batch loop — flattening
+      removes the batch dim entirely, so B trees cost one tree's ops;
+    - the per-component reduction is ONE f32 scatter-min keyed by label
+      (i32 scatter-min lowers to a serial loop, ~170 ms vs ~4 ms);
+    - the (weight, index) lexicographic order is precomputed once as
+      int32 ranks (batched stable argsort, then a non-stable argsort of
+      the permutation — a *stable* int argsort is ~200x slower).
 
     Args:
-      src, dst: (E,) int32 endpoints. weights: (E,) float32.
-      n: number of nodes (static).
-      node_eid: optional (N, S) static incident-edge table per node;
-        node_slot_valid: (N, S) bool. When absent they are derived by
-        scatter (generic graphs).
+      weights: (B, E) f32. src, dst: (E,) int32 endpoints (per graph).
+      n: nodes per graph (static).
+      node_eid / node_slot_valid: (N, S) static incident-edge tables
+        (``grid_neighbors`` for grids).
     Returns:
-      chosen: (E,) bool — True for the n-1 tree edges.
+      chosen: (B, E) bool — per graph, True for its n-1 tree edges.
     """
-    e = src.shape[0]
-    eidx = jnp.arange(e, dtype=jnp.int32)
-    nodes = jnp.arange(n, dtype=jnp.int32)
+    bsz, e = weights.shape
+    ne, eg = bsz * n, bsz * e
     rounds = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    offs_n = (jnp.arange(bsz, dtype=jnp.int32) * n)[:, None]
+    offs_e = (jnp.arange(bsz, dtype=jnp.int32) * e)[:, None]
 
-    # total (weight, index) order as int32 ranks: order[r] = edge with
-    # rank r; rank[e] = r. Stable argsort keeps index tie-breaking.
-    order = jnp.argsort(weights, stable=True).astype(jnp.int32)
-    rank = jnp.argsort(order).astype(jnp.int32)
+    src_f = (src[None] + offs_n).reshape(-1)            # (B*E,)
+    dst_f = (dst[None] + offs_n).reshape(-1)
+    s_eid = (node_eid[None] + offs_e[..., None]).reshape(ne, -1)
+    s_valid = jnp.broadcast_to(node_slot_valid[None],
+                               (bsz,) + node_slot_valid.shape
+                               ).reshape(ne, -1)
 
-    if node_eid is None:
-        raise ValueError('boruvka_mst needs the static per-node incident '
-                         'tables (node_eid, node_slot_valid) — for grids '
-                         'use grid_neighbors(h, w)')
-    s_eid = node_eid
-    s_valid = node_slot_valid
+    # per-image total (weight, index) order as GLOBAL int32 ranks
+    order_l = jnp.argsort(weights, axis=1, stable=True).astype(jnp.int32)
+    rank_l = jnp.argsort(order_l, axis=1).astype(jnp.int32)
+    order = (order_l + offs_e).reshape(-1)    # global rank -> global edge
+    rank = (rank_l + offs_e).reshape(-1)      # global edge -> global rank
+
+    nodes = jnp.arange(ne, dtype=jnp.int32)
 
     def round_fn(carry):
         lbl, chosen = carry
-        cs, cd = lbl[src], lbl[dst]
+        cs, cd = lbl[src_f], lbl[dst_f]
         live = cs != cd
-        r = jnp.where(live, rank, e)                     # (E,) int32
+        r = jnp.where(live, rank, eg)                     # (B*E,)
 
         # node-centric pre-min over the static incident slots (gathers)
-        rn = jnp.where(s_valid, r[s_eid], e).min(axis=1)  # (N,)
-        # per-component min: ONE scatter-min keyed by label. The scatter
-        # runs in f32 — ranks < E < 2^24 are exact, and XLA's TPU i32
-        # scatter-min lowers to a serial loop (~170 ms at 96x96 vs ~4 ms
-        # for the f32 one; measured on v5e)
-        rmin = jnp.full((n,), e, jnp.float32).at[lbl].min(
+        rn = jnp.where(s_valid, r[s_eid], eg).min(axis=1)  # (B*N,)
+        rmin = jnp.full((ne,), eg, jnp.float32).at[lbl].min(
             rn.astype(jnp.float32)).astype(jnp.int32)
-        has = rmin < e
-        e_sel = order[jnp.minimum(rmin, e - 1)]           # (N,) edge ids
+        has = rmin < eg
+        e_sel = order[jnp.minimum(rmin, eg - 1)]           # (B*N,) edges
 
         chosen = chosen.at[jnp.where(has, e_sel, 0)].max(has)
 
         # hook each component TO its partner (so every chosen edge merges
-        # its two components this round — guaranteeing components at least
-        # halve per round). The total (weight, idx) order makes mutual
-        # 2-cycles the only possible cycles; break them to the smaller
-        # label, which becomes the hook-tree root.
+        # its two components this round — components at least halve per
+        # round). The total (weight, idx) order makes mutual 2-cycles the
+        # only possible cycles; break them to the smaller label.
         a, b = cs[e_sel], cd[e_sel]
         partner = jnp.where(has, a + b - nodes, nodes)
         mutual = partner[partner] == nodes
@@ -154,30 +155,42 @@ def boruvka_mst(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
         ptr, _ = jax.lax.while_loop(prop_cond, prop_body, (ptr, True))
         return ptr[lbl], chosen
 
-    lbl0 = nodes
-    chosen0 = jnp.zeros((e,), bool)
-
     # while_loop with live-edge early exit: natural-image trees usually
     # connect in far fewer than the worst-case ceil(log2 N) rounds
     def cond(carry):
         lbl, chosen, i = carry
-        return (i < rounds) & jnp.any(lbl[src] != lbl[dst])
+        return (i < rounds) & jnp.any(lbl[src_f] != lbl[dst_f])
 
     def body(carry):
         lbl, chosen, i = carry
         lbl, chosen = round_fn((lbl, chosen))
         return lbl, chosen, i + 1
 
-    _, chosen, _ = jax.lax.while_loop(cond, body,
-                                      (lbl0, chosen0, jnp.int32(0)))
-    return chosen
+    _, chosen, _ = jax.lax.while_loop(
+        cond, body, (nodes, jnp.zeros((eg,), bool), jnp.int32(0)))
+    return chosen.reshape(bsz, e)
 
 
-def root_tree_euler(nbr: jnp.ndarray, eid: jnp.ndarray,
-                    chosen: jnp.ndarray, n: int, max_depth: int
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Root the chosen-edge tree at node 0 via an Euler tour +
-    pointer-doubling list ranking — O(log N) rounds of pure gathers.
+def boruvka_mst(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
+                n: int,
+                node_eid: jnp.ndarray = None,
+                node_slot_valid: jnp.ndarray = None) -> jnp.ndarray:
+    """Single-graph MST edge selection (see ``boruvka_mst_batched``)."""
+    if node_eid is None:
+        raise ValueError('boruvka_mst needs the static per-node incident '
+                         'tables (node_eid, node_slot_valid) — for grids '
+                         'use grid_neighbors(h, w)')
+    return boruvka_mst_batched(weights[None], src, dst, n, node_eid,
+                               node_slot_valid)[0]
+
+
+def root_tree_euler_batched(chosen: jnp.ndarray, nbr: jnp.ndarray,
+                            eid: jnp.ndarray, n: int, max_depth: int
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Root a BATCH of chosen-edge trees (each at its node 0) via Euler
+    tours + pointer-doubling list ranking — O(log N) rounds of pure
+    gathers over ONE flat arc array (no batch dims: a vmapped gather
+    serializes per batch element on TPU).
 
     The BFS formulation walked ``max_depth`` (512) sequential frontier
     levels (~440 ms per BoxLevelset step on v5e); the Euler tour of the
@@ -187,23 +200,36 @@ def root_tree_euler(nbr: jnp.ndarray, eid: jnp.ndarray,
        twin(a) flips the slot (left<->right, up<->down);
     2. succ(a=(u->v)) = the next existing arc out of v cyclically after
        twin slot — the classic Euler-tour successor;
-    3. cutting the cycle at the first arc out of the root and suffix-
+    3. cutting each tour at the first arc out of its root and suffix-
        summing (+1 down / -1 up after a first ranking pass) gives, per
        node, its unique discovery arc -> (parent, depth) exactly.
 
     Nodes deeper than ``max_depth`` (beyond the downstream scan budget)
     are detached into isolated roots, matching the BFS semantics.
+
+    Args:
+      chosen: (B, E) bool tree edges. nbr/eid: (N, 4) per-graph tables.
+      n: nodes per graph; max_depth: static depth budget.
+    Returns:
+      (parent, depth): (B, N) int32 each, LOCAL per-graph node ids.
     """
-    n4 = 4 * n
+    bsz, e = chosen.shape
+    ne = bsz * n
+    n4 = 4 * ne
     ids = jnp.arange(n4, dtype=jnp.int32)
     twin_slot = jnp.asarray([1, 0, 3, 2], jnp.int32)
+    offs_n = (jnp.arange(bsz, dtype=jnp.int32) * n)[:, None]
+    offs_e = (jnp.arange(bsz, dtype=jnp.int32) * e)[:, None]
 
-    exist = chosen[eid] & (nbr >= 0)                        # (N, 4)
-    nbr_safe = jnp.maximum(nbr, 0)
-    u_of = ids // 4                                         # (4N,)
+    eid_f = (eid[None] + offs_e[..., None]).reshape(ne, 4)
+    nbr_ok = jnp.broadcast_to((nbr >= 0)[None], (bsz, n, 4)).reshape(ne, 4)
+    nbr_f = (jnp.maximum(nbr, 0)[None] + offs_n[..., None]).reshape(ne, 4)
+
+    exist = chosen.reshape(-1)[eid_f] & nbr_ok              # (B*N, 4)
+    u_of = ids // 4                                         # (4*B*N,)
     s_of = ids % 4
-    valid = exist.reshape(-1)                               # (4N,)
-    v_of = nbr_safe.reshape(-1)                             # arc target
+    valid = exist.reshape(-1)
+    v_of = nbr_f.reshape(-1)                                # arc target
 
     # twin arc id: (v, twin_slot[s])
     twin = v_of * 4 + twin_slot[s_of]
@@ -211,20 +237,26 @@ def root_tree_euler(nbr: jnp.ndarray, eid: jnp.ndarray,
     # succ(a) = first existing arc out of v after twin slot, cyclically
     cand = (twin_slot[s_of][:, None] + jnp.arange(1, 5,
                                                   dtype=jnp.int32)[None]) % 4
-    ok = jnp.take_along_axis(exist[v_of], cand, axis=1)      # (4N, 4)
+    ok = jnp.take_along_axis(exist[v_of], cand, axis=1)      # (4BN, 4)
     pick = jnp.argmax(ok, axis=1)
     succ_slot = jnp.take_along_axis(cand, pick[:, None], axis=1)[:, 0]
     succ = jnp.where(valid, v_of * 4 + succ_slot, ids)
 
-    # cut the tour at a0 = first existing arc out of node 0
-    a0 = jnp.argmax(exist[0]).astype(jnp.int32)             # slot of node 0
-    nxt = jnp.where((succ == a0) | ~valid, ids, succ)
+    # cut each tour at a0 = first existing arc out of its root (b*n)
+    roots = offs_n[:, 0]
+    a0 = roots * 4 + jnp.argmax(exist[roots], axis=1).astype(jnp.int32)
+    cut_at = jnp.zeros((n4,), bool).at[a0].set(True)         # B writes
+    nxt = jnp.where(cut_at[succ] | ~valid, ids, succ)
 
-    rounds = max(int(np.ceil(np.log2(max(n4, 2)))), 1)
+    # each per-tree list holds at most 2(n-1) valid arcs
+    rounds = max(int(np.ceil(np.log2(max(2 * n, 2)))), 1)
 
     def suffix_sum(vals):
         """S(a) = sum of vals over the list from a to the end, inclusive
-        (pointer-doubling with alive flags, like ops/tree_filter)."""
+        (pointer-doubling with alive flags, like ops/tree_filter).
+        NOTE: a zero-sentinel formulation (2 gathers/round instead of 3)
+        measured 40 ms SLOWER end-to-end on v5e — XLA fuses the masked
+        form better; keep the alive flags."""
         def body(carry, _):
             s, p, alive = carry
             s = s + jnp.where(alive, s[p], 0)
@@ -244,23 +276,37 @@ def root_tree_euler(nbr: jnp.ndarray, eid: jnp.ndarray,
     # pass 2: depth prefix sums of +1 (down) / -1 (up)
     val = jnp.where(down, 1, jnp.where(valid, -1, 0)).astype(jnp.int32)
     s2 = suffix_sum(val)
-    prefix_incl = val - s2          # total sum over the tour is 0
+    prefix_incl = val - s2          # per-tour total sum is 0
 
-    # each node's unique discovery arc writes (parent, depth): unique
-    # targets -> cheap scatter
-    tgt = jnp.where(down, v_of, n)          # dump slot n
-    parent = jnp.full((n + 1,), 0, jnp.int32).at[tgt].max(
-        jnp.where(down, u_of, 0))[:n]
-    depth = jnp.zeros((n + 1,), jnp.int32).at[tgt].max(
-        jnp.where(down, prefix_incl, 0))[:n]
-    parent = parent.at[0].set(0)
-    depth = depth.at[0].set(0)
+    # each node's unique discovery arc writes (parent, depth). Non-root
+    # nodes get exactly one write with parent id >= 0 and depth >= 1, so
+    # a max-scatter from a zero init is exact; roots get no write and are
+    # patched densely after.
+    tgt = jnp.where(down, v_of, ne)          # shared dump slot
+    parent = jnp.full((ne + 1,), 0, jnp.int32).at[tgt].max(
+        jnp.where(down, u_of, 0))[:ne]
+    depth = jnp.zeros((ne + 1,), jnp.int32).at[tgt].max(
+        jnp.where(down, prefix_incl, 0))[:ne]
+    node_ids = jnp.arange(ne, dtype=jnp.int32)
+    is_root = node_ids % n == 0
+    parent = jnp.where(is_root, node_ids, parent)
+    depth = jnp.where(is_root, 0, depth)
 
     # beyond-budget nodes become isolated roots (BFS-truncation semantics)
     over = depth > max_depth
-    parent = jnp.where(over, jnp.arange(n, dtype=jnp.int32), parent)
+    parent = jnp.where(over, node_ids, parent)
     depth = jnp.where(over, 0, depth)
-    return parent, depth
+    parent = parent.reshape(bsz, n) - offs_n      # back to local ids
+    return parent, depth.reshape(bsz, n)
+
+
+def root_tree_euler(nbr: jnp.ndarray, eid: jnp.ndarray,
+                    chosen: jnp.ndarray, n: int, max_depth: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-tree rooting (see ``root_tree_euler_batched``)."""
+    parent, depth = root_tree_euler_batched(chosen[None], nbr, eid, n,
+                                            max_depth)
+    return parent[0], depth[0]
 
 
 def root_tree(nbr: jnp.ndarray, eid: jnp.ndarray, chosen: jnp.ndarray,
@@ -335,9 +381,6 @@ def grid_mst_device(w_right: jnp.ndarray, w_down: jnp.ndarray,
     weights = jnp.concatenate(
         [w_right.reshape(b, -1), w_down.reshape(b, -1)], axis=1)
 
-    def per_image(wgt):
-        chosen = boruvka_mst(src, dst, wgt, n, node_eid=eid,
-                             node_slot_valid=jnp.asarray(nbr_np >= 0))
-        return root_tree_euler(nbr, eid, chosen, n, max_depth)
-
-    return jax.vmap(per_image)(weights.astype(jnp.float32))
+    chosen = boruvka_mst_batched(weights.astype(jnp.float32), src, dst, n,
+                                 eid, jnp.asarray(nbr_np >= 0))
+    return root_tree_euler_batched(chosen, nbr, eid, n, max_depth)

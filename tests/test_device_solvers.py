@@ -110,6 +110,35 @@ def test_euler_rooting_matches_bfs_oracle(rng):
         np.testing.assert_array_equal(np.asarray(p_got), np.asarray(p_ref))
 
 
+def test_batched_mst_matches_per_graph(rng):
+    """The flat block-diagonal batched solver must reproduce per-graph
+    results exactly (trees must never leak across batch elements)."""
+    from boxinstseg_tpu.ops.mst import (boruvka_mst_batched, grid_edges,
+                                        grid_neighbors,
+                                        root_tree_euler_batched)
+    h, w, B = 9, 7, 3
+    n = h * w
+    src, dst = grid_edges(h, w)
+    nbr, eid = grid_neighbors(h, w)
+    nbr_j, eid_j = jnp.asarray(nbr), jnp.asarray(eid)
+    wgt = jnp.asarray((rng.rand(B, len(src)) * 10).astype(np.float32))
+    solve = jax.jit(lambda W: boruvka_mst_batched(
+        W, jnp.asarray(src), jnp.asarray(dst), n, eid_j, nbr_j >= 0))
+    root = jax.jit(lambda c: root_tree_euler_batched(c, nbr_j, eid_j, n,
+                                                     200))
+    ch_b = solve(wgt)
+    p_b, d_b = root(ch_b)
+    for i in range(B):
+        ch_1 = solve(wgt[i][None])[0]
+        np.testing.assert_array_equal(np.asarray(ch_b[i]),
+                                      np.asarray(ch_1))
+        p_1, d_1 = root(ch_1[None])
+        np.testing.assert_array_equal(np.asarray(p_b[i]),
+                                      np.asarray(p_1[0]))
+        np.testing.assert_array_equal(np.asarray(d_b[i]),
+                                      np.asarray(d_1[0]))
+
+
 def test_grid_mst_device_rooting(rng):
     from boxinstseg_tpu.ops.mst import grid_mst_device
     h, w = 12, 10
