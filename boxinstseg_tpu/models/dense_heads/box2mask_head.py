@@ -229,14 +229,32 @@ class Box2MaskHead(nn.Module):
         img_t = img4.transpose(0, 3, 1, 2)          # (B, 3, h4, w4) shared
         pix = jnp.maximum(k_maskf.sum(axis=(2, 3)), 1.0)
 
-        def layer_losses(args):
+        # ---- Hungarian matching for ALL decoder layers in one batched
+        # solve: the exact-JV solver is a sequential augmenting-path
+        # while_loop, so running it per layer inside the lax.map pays its
+        # full latency L times (74 ms/step profiled); vmapped over L*B
+        # the lockstep iterations amortize it to one solve's latency.
+        def layer_cost(args):
             cls_pred, mask_embed = args
             mask_pred = jnp.einsum('bqc,bhwc->bqhw', mask_embed,
                                    mask_feature,
                                    preferred_element_type=jnp.float32)
-            cost = (cls_cost_w * classification_cost(cls_pred, k_labels)
+            return (cls_cost_w * classification_cost(cls_pred, k_labels)
                     + dice_cost_w * box_matching_cost(mask_pred, k_maskf))
-            assigned, m_valid = hungarian_match(cost, k_valid)
+
+        costs = jax.lax.map(jax.checkpoint(layer_cost),
+                            (cls_stack, embed_stack))     # (L, B, Q, K)
+        assigned_lb, _ = hungarian_match(
+            costs.reshape(n_layers * B, *costs.shape[2:]),
+            jnp.tile(k_valid, (n_layers, 1)))
+        assigned_stack = assigned_lb.reshape(n_layers, B, K)
+
+        def layer_losses(args):
+            cls_pred, mask_embed, assigned = args
+            mask_pred = jnp.einsum('bqc,bhwc->bqhw', mask_embed,
+                                   mask_feature,
+                                   preferred_element_type=jnp.float32)
+            m_valid = k_valid
 
             # labels per query (invalid slots scatter OOB -> dropped)
             labels = jnp.full((B, self.num_queries), self.num_classes,
@@ -285,7 +303,7 @@ class Box2MaskHead(nn.Module):
         # remat: only the tiny (B, Q, C) embeddings are saved per layer;
         # mask logits are recomputed in the backward pass
         pl_stacked = jax.lax.map(jax.checkpoint(layer_losses),
-                                 (cls_stack, embed_stack))
+                                 (cls_stack, embed_stack, assigned_stack))
         per_layer = [jax.tree_util.tree_map(lambda x: x[li], pl_stacked)
                      for li in range(n_layers)]
         layer_masks96 = [pl.pop('m96') for pl in per_layer]
