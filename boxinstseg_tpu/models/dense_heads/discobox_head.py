@@ -145,26 +145,45 @@ class MeanFieldCRF:
         Returns binary pseudo labels (B, K, H, W)."""
         base = self.base
         x = jax.lax.stop_gradient(x * targets)
-        q = (x > 0.5).astype(jnp.float32) * (1 - 2 * base) + base
-        # state: probability maps for (bg, fg): (B, K, 2, H, W)
-        state = jnp.stack([1.0 - q, q], axis=2)
 
-        def body(_, state):
-            neglog = -jnp.log(jnp.maximum(state, 1e-8))
-            aggre = 0.0
+        # The state is re-binarized to {base, 1-base} every iteration, so
+        # neglog(state) takes only two values per channel and bg = 1-fg:
+        # the 9-offset stencil therefore only needs the BINARY fg map —
+        # half the channels of the reference's (bg, fg) unfold — with the
+        # per-offset zero-padding folded into a precomputed valid-masked
+        # kernel sum. Exactly the reference's fixed point, ~2x less HBM
+        # traffic per iteration (the CRF was 22 ms/step profiled).
+        #   neglog_fg = A + B*bin, neglog_bg = (A+B) - B*bin (in bounds)
+        a_c = -float(np.log(base))
+        b_c = float(np.log(base) - np.log(1.0 - base))
+        h, w = x.shape[-2], x.shape[-1]
+        kv = 0.0                    # sum_o k_o * in_bounds_o : (B, H, W)
+        for o, (dy, dx) in enumerate(self.offsets):
+            m = np.zeros((h, w), np.float32)
+            ys = slice(max(dy, 0), h + min(dy, 0))
+            xs = slice(max(dx, 0), w + min(dx, 0))
+            m[ys, xs] = 1.0
+            kv = kv + kernel[:, o] * jnp.asarray(m)
+
+        bin0 = (x > 0.5).astype(jnp.float32)                  # (B,K,H,W)
+
+        def body(_, bin_fg):
+            s = 0.0
             for o, (dy, dx) in enumerate(self.offsets):
-                nb = shift2d(neglog, dy, dx, h_axis=3)
-                aggre = aggre + nb * kernel[:, None, None, o]
-            f = jnp.exp(-aggre)
+                s = s + shift2d(bin_fg, dy, dx, h_axis=2) \
+                    * kernel[:, None, o]
+            aggre_fg = a_c * kv[:, None] + b_c * s
+            aggre_bg = (a_c + b_c) * kv[:, None] - b_c * s
+            f_fg = jnp.exp(-aggre_fg)
+            f_bg = jnp.exp(-aggre_bg)
             if iiu is not None:
-                f = f + iiu * self.gamma
-            fg = f[:, :, 1] * targets
-            f = jnp.stack([f[:, :, 0], fg], axis=2) + 1e-6
-            f = f / f.sum(axis=2, keepdims=True)
-            return (f > 0.5).astype(jnp.float32) * (1 - 2 * base) + base
+                f_bg = f_bg + iiu[:, :, 0] * self.gamma
+                f_fg = f_fg + iiu[:, :, 1] * self.gamma
+            fg = f_fg * targets + 1e-6
+            bg = f_bg + 1e-6
+            return (fg / (fg + bg) > 0.5).astype(jnp.float32)
 
-        state = jax.lax.fori_loop(0, self.num_iter, body, state)
-        return (state[:, :, 1] > 0.5).astype(jnp.float32)
+        return jax.lax.fori_loop(0, self.num_iter, body, bin0)
 
 
 @HEADS.register_module()
