@@ -108,7 +108,8 @@ def _grid_sample_bilinear(value: jnp.ndarray, loc_x: jnp.ndarray,
 
 
 def _grid_sample_bilinear_patch(value: jnp.ndarray, loc_x: jnp.ndarray,
-                                loc_y: jnp.ndarray) -> jnp.ndarray:
+                                loc_y: jnp.ndarray,
+                                weight: jnp.ndarray = None) -> jnp.ndarray:
     """Bilinear sampling via ONE flat row-gather of precomputed 2x2
     patches (grid_sample align_corners=False, zero padding) — the
     gather-heavy path of MultiScaleDeformableAttention.
@@ -121,8 +122,10 @@ def _grid_sample_bilinear_patch(value: jnp.ndarray, loc_x: jnp.ndarray,
     corners read the zero pad, so no per-corner masks are needed (only a
     fully-outside clamp mask). 4x fewer gather/scatter rows, wider rows.
 
-    value: (B, H, W, C); loc_x/loc_y: (B, N) normalized to [0, 1].
-    Returns (B, N, C).
+    value: (B, H, W, C); loc_x/loc_y: (B, N) normalized to [0, 1];
+    weight: optional (B, N) per-sample scale folded into the corner
+    weights (lets callers fuse e.g. attention weights into the one
+    rows-tensor pass). Returns (B, N, C).
     """
     b, h, w, c = value.shape
     n = loc_x.shape[1]
@@ -130,8 +133,8 @@ def _grid_sample_bilinear_patch(value: jnp.ndarray, loc_x: jnp.ndarray,
     y = loc_y * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = (x - x0)[..., None]
-    wy = (y - y0)[..., None]
+    wx = x - x0
+    wy = y - y0
 
     pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
     patch = jnp.concatenate([
@@ -140,17 +143,23 @@ def _grid_sample_bilinear_patch(value: jnp.ndarray, loc_x: jnp.ndarray,
     flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
 
     # sample fully outside [-1, h/w] x ... reads clamped (wrong) rows;
-    # mask it. Inside that range the zero pad gives exact semantics.
+    # mask it (folded into the corner weights). Inside that range the
+    # zero pad gives exact semantics.
     ok = ((x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1))
     xi = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
     yi = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
     base = (jnp.arange(b, dtype=jnp.int32) * ((h + 1) * (w + 1)))[:, None]
     idx = (base + yi * (w + 1) + xi).reshape(-1)
     rows = jnp.take(flat, idx, axis=0).reshape(b, n, 4, c)
-    rows = rows * ok[..., None, None]
-    v00, v01, v10, v11 = (rows[:, :, k] for k in range(4))
-    return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
-            + wy * ((1 - wx) * v10 + wx * v11))
+
+    # all per-sample scalars live in the (b, n, 4) corner weights, so the
+    # big rows tensor is touched in exactly ONE mul+reduce pass
+    w4 = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
+                    wy * (1 - wx), wy * wx], axis=-1)    # (b, n, 4)
+    w4 = w4 * ok[..., None]
+    if weight is not None:
+        w4 = w4 * weight[..., None]
+    return (rows * w4[..., None].astype(rows.dtype)).sum(axis=2)
 
 
 def _msda_offset_bias_init(num_heads, num_levels, num_points):
@@ -218,10 +227,16 @@ class MultiScaleDeformableAttention(nn.Module):
                 offsets[:, :, :, lvl] / jnp.asarray(
                     [ww, hh], jnp.float32)                 # (b,l,h,p,2)
             loc = loc.transpose(0, 2, 1, 3, 4).reshape(b * h, l * npnt, 2)
-            smp = _grid_sample_bilinear_patch(vl, loc[..., 0], loc[..., 1])
-            smp = smp.reshape(b, h, l, npnt, d)
-            w_hp = attn[:, :, :, lvl].transpose(0, 2, 1, 3)  # (b,h,l,p)
-            out = out + (smp * w_hp[..., None]).sum(axis=3) \
+            # attention weights fold into the sampler's per-sample corner
+            # weights — ONE mul+reduce pass over the gathered rows; the
+            # final p-sum is elementwise (an einsum here is a (4, d)
+            # matvec batched over b*h*l — MXU-hostile, measured 2x slower
+            # end-to-end)
+            w_hp = attn[:, :, :, lvl].transpose(0, 2, 1, 3) \
+                .reshape(b * h, l * npnt)
+            smp = _grid_sample_bilinear_patch(
+                vl, loc[..., 0], loc[..., 1], w_hp.astype(jnp.float32))
+            out = out + smp.reshape(b, h, l, npnt, d).sum(axis=3) \
                 .transpose(0, 2, 1, 3)
         out = out.reshape(b, l, c)
         return Dense(c, name='output_proj')(out)
