@@ -98,13 +98,14 @@ def fcos_targets(points: jnp.ndarray,
     labels = jnp.where(is_bg, num_classes, labels).astype(jnp.int32)
     gt_inds = jnp.where(is_bg, -1, min_inds).astype(jnp.int32)
 
-    idx = min_inds[..., None]
-    bt = jnp.stack([
-        jnp.take_along_axis(left, idx, axis=-1)[..., 0],
-        jnp.take_along_axis(top, idx, axis=-1)[..., 0],
-        jnp.take_along_axis(right, idx, axis=-1)[..., 0],
-        jnp.take_along_axis(bottom, idx, axis=-1)[..., 0],
-    ], axis=-1)                                   # (B, P, 4)
+    # one-hot select over the small G axis instead of take_along_axis:
+    # per-(B, P) gathers carry batch dims and serialize on TPU
+    # (~7 ms/step on BoxInst, profiled); a masked reduce is one fused
+    # VPU pass over tensors that are already live
+    sel = (jnp.arange(G)[None, None] == min_inds[..., None])
+    pick = lambda t: jnp.where(sel, t, 0.0).sum(axis=-1)
+    bt = jnp.stack([pick(left), pick(top), pick(right), pick(bottom)],
+                   axis=-1)                       # (B, P, 4)
     ctr = jnp.where(is_bg, 0.0, centerness_target(bt))
     if norm_on_bbox:
         bt = bt / strides[None, :, None]

@@ -27,21 +27,57 @@ def _aligned_axis_indices(n: int, factor: int):
     return q0, q1, r
 
 
+def _aligned_axis_phases(n: int, factor: int):
+    """Static per-output-phase (shift, weight) decomposition of one
+    aligned_bilinear axis: output position ``factor*q + ph`` reads
+    ``(1-w)*x[q+s] + w*x[q+s+1]`` with (s, w) constant per phase ph."""
+    half = factor // 2
+    phases = []
+    for ph in range(factor):
+        i = ph - half              # out = factor*q + ph samples i/factor
+        s, rem = divmod(i, factor)
+        phases.append((s, rem / float(factor)))
+    return phases
+
+
 def aligned_bilinear(x: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Upsample (..., H, W, C) by an integer factor, AdelaiDet-aligned."""
+    """Upsample (..., H, W, C) by an integer factor, AdelaiDet-aligned.
+
+    Implemented as ``factor`` static-slice lerps interleaved by reshape —
+    no gathers: ``jnp.take`` with an iota-derived index vector lowers to
+    a real gather whose backward is a serialized scatter on TPU
+    (~9 ms/step on the BoxInst mask branch, profiled)."""
     assert factor >= 1 and isinstance(factor, int)
     if factor == 1:
         return x
-    h, w = x.shape[-3], x.shape[-2]
 
-    q0, q1, r = _aligned_axis_indices(h, factor)
-    r = r.reshape((-1,) + (1,) * (x.ndim - 3 + 2))[..., 0]
-    r = r.reshape((-1, 1, 1))
-    x = (1.0 - r) * jnp.take(x, q0, axis=-3) + r * jnp.take(x, q1, axis=-3)
+    def up_axis(x, axis):
+        n = x.shape[axis]
+        # replicate-pad by 1 on both sides: phase shifts are in {-1, 0}
+        # for s and s+1 <= 1 (factor//2 <= factor)
+        pad_width = [(0, 0)] * x.ndim
+        pad_width[axis] = (1, 1)
+        xp = jnp.pad(x, pad_width, mode='edge')
 
-    q0, q1, r = _aligned_axis_indices(w, factor)
-    r = r.reshape((-1, 1))
-    x = (1.0 - r) * jnp.take(x, q0, axis=-2) + r * jnp.take(x, q1, axis=-2)
+        def sl(shift):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(1 + shift, 1 + shift + n)
+            return xp[tuple(idx)]
+
+        outs = []
+        for s, wgt in _aligned_axis_phases(n, factor):
+            lo, hi = sl(s), sl(s + 1)
+            outs.append(lo if wgt == 0.0 else (1.0 - wgt) * lo + wgt * hi)
+        # interleave phases: stack on a new axis right after `axis`
+        y = jnp.stack(outs, axis=axis + 1 if axis >= 0
+                      else x.ndim + axis + 1)
+        shape = list(x.shape)
+        ax = axis if axis >= 0 else x.ndim + axis
+        shape[ax] = n * factor
+        return y.reshape(shape)
+
+    x = up_axis(x, x.ndim - 3)
+    x = up_axis(x, x.ndim - 2)
     return x
 
 
