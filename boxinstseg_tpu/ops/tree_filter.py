@@ -136,57 +136,63 @@ def grid_mst(guide: jnp.ndarray, max_depth: int = 512,
 # a_root = S_root) — a linear recurrence along root paths, solved by the
 # standard (A, B) composition doubling.
 
+def _flat_parent(parent):
+    """(B, N) local parent ids -> (B*N,) global ids (flat gathers: batch
+    dims on TPU gathers/scatters cost a per-op latency per batch row)."""
+    b, n = parent.shape
+    offs = (jnp.arange(b, dtype=parent.dtype) * n)[:, None]
+    return (parent + offs).reshape(-1)
+
+
 def _up_pass(h, w, parent, depth, max_depth):
     """Leaf->root subtree aggregation: S_i = h_i + sum_children w_c * S_c.
     h: (B, N, C); w: (B, N) (root edge weight must be 0)."""
     rounds = max(int(np.ceil(np.log2(max(max_depth, 2)))), 1) + 1
-    n = h.shape[1]
-
-    gather = jax.vmap(lambda a, idx: a[idx])
+    b, n, c = h.shape
+    bn = b * n
 
     def round_fn(carry, _):
         acc, anc, p, alive = carry
         # scatter P_i * acc_i into anc_i for alive (non-root-clamped) nodes
-        contrib = jnp.where(alive[..., None], p[..., None] * acc, 0.0)
-        tgt = jnp.where(alive, anc, n)          # dump slot n
-        add = jax.vmap(lambda idx, val: jnp.zeros(
-            (n + 1,) + val.shape[1:], val.dtype).at[idx].add(val))(
-            tgt, contrib)[:, :n]
+        contrib = jnp.where(alive[:, None], p[:, None] * acc, 0.0)
+        tgt = jnp.where(alive, anc, bn)          # shared dump slot
+        add = jnp.zeros((bn + 1, c), acc.dtype).at[tgt].add(contrib)[:bn]
         acc = acc + add
         # double the pointer
-        anc2 = gather(anc, anc)
-        p2 = p * gather(p, anc)
-        alive2 = alive & gather(alive, anc)
+        anc2 = anc[anc]
+        p2 = p * p[anc]
+        alive2 = alive & alive[anc]
         return (acc, anc2, p2, alive2), None
 
     # anc at distance 1 = parent; alive = not root (root points to itself)
-    alive0 = depth > 0
     (acc, _, _, _), _ = jax.lax.scan(
-        round_fn, (h, parent, w, alive0), None, length=rounds)
-    return acc
+        round_fn,
+        (h.reshape(bn, c), _flat_parent(parent), w.reshape(-1),
+         (depth > 0).reshape(-1)),
+        None, length=rounds)
+    return acc.reshape(b, n, c)
 
 
 def _down_pass(s, w, parent, depth, max_depth):
     """Root->leaf completion: U_i = S_i + w_i * (U_parent - w_i * S_i)."""
     rounds = max(int(np.ceil(np.log2(max(max_depth, 2)))), 1) + 1
+    bsz, n, c = s.shape
     is_root = (depth == 0)[..., None]
     we = w[..., None]
-    a = jnp.where(is_root, s, s * (1.0 - we * we))
-    b = jnp.where(is_root[..., 0], 0.0, w)
-
-    gather = jax.vmap(lambda arr, idx: arr[idx])
+    a = jnp.where(is_root, s, s * (1.0 - we * we)).reshape(bsz * n, c)
+    b = jnp.where(depth == 0, 0.0, w).reshape(-1)
 
     def round_fn(carry, _):
         a, b, anc = carry
-        a2 = a + b[..., None] * gather(a, anc)
-        b2 = b * gather(b, anc)
-        anc2 = gather(anc, anc)
+        a2 = a + b[:, None] * a[anc]
+        b2 = b * b[anc]
+        anc2 = anc[anc]
         return (a2, b2, anc2), None
 
-    (a, b, _), _ = jax.lax.scan(round_fn, (a, b, parent), None,
-                                length=rounds)
+    (a, b, _), _ = jax.lax.scan(round_fn, (a, b, _flat_parent(parent)),
+                                None, length=rounds)
     # b has absorbed a zero (root) on every path => U = a
-    return a
+    return a.reshape(bsz, n, c)
 
 
 def _aggregate_su(h, w, parent, depth, max_depth):
