@@ -251,31 +251,39 @@ def root_tree_euler_batched(chosen: jnp.ndarray, nbr: jnp.ndarray,
     # each per-tree list holds at most 2(n-1) valid arcs
     rounds = max(int(np.ceil(np.log2(max(2 * n, 2)))), 1)
 
-    def suffix_sum(vals):
+    def suffix_sum_trace(vals):
         """S(a) = sum of vals over the list from a to the end, inclusive
-        (pointer-doubling with alive flags, like ops/tree_filter).
-        NOTE: a zero-sentinel formulation (2 gathers/round instead of 3)
+        (pointer-doubling with alive flags, like ops/tree_filter); also
+        returns the per-round (pointer, alive) trace so the second pass
+        can replay it with ONE gather per round instead of three.
+        NOTE: a zero-sentinel formulation (2 gathers/round, no trace)
         measured 40 ms SLOWER end-to-end on v5e — XLA fuses the masked
         form better; keep the alive flags."""
         def body(carry, _):
             s, p, alive = carry
             s = s + jnp.where(alive, s[p], 0)
-            alive = alive & alive[p]
-            p = p[p]
-            return (s, p, alive), None
-        (s, _, _), _ = jax.lax.scan(
+            return (s, p[p], alive & alive[p]), (p, alive)
+        (s, _, _), trace = jax.lax.scan(
             body, (vals, nxt, nxt != ids), None, length=rounds)
+        return s, trace
+
+    def suffix_sum_replay(vals, trace):
+        def body(s, pa):
+            p, alive = pa
+            return s + jnp.where(alive, s[p], 0), None
+        s, _ = jax.lax.scan(body, vals, trace)
         return s
 
     # pass 1: d(a) = #arcs from a to the end (inclusive) -> order compare
-    d = suffix_sum(jnp.where(valid, 1, 0).astype(jnp.int32))
+    d, trace = suffix_sum_trace(jnp.where(valid, 1, 0).astype(jnp.int32))
     # a is the FIRST traversal of its edge iff it comes earlier than its
     # twin, i.e. has the longer suffix
     down = valid & (d > d[twin])
 
-    # pass 2: depth prefix sums of +1 (down) / -1 (up)
+    # pass 2: depth prefix sums of +1 (down) / -1 (up), replaying pass
+    # 1's pointer chains
     val = jnp.where(down, 1, jnp.where(valid, -1, 0)).astype(jnp.int32)
-    s2 = suffix_sum(val)
+    s2 = suffix_sum_replay(val, trace)
     prefix_incl = val - s2          # per-tour total sum is 0
 
     # each node's unique discovery arc writes (parent, depth). Non-root
