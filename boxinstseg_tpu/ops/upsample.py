@@ -40,44 +40,43 @@ def _aligned_axis_phases(n: int, factor: int):
     return phases
 
 
-def aligned_bilinear(x: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Upsample (..., H, W, C) by an integer factor, AdelaiDet-aligned.
+def _phase_upsample_axis(x, axis, phases):
+    """Upsample one axis by len(phases) via static-slice lerps
+    interleaved by reshape — no gathers: ``jnp.take`` with an
+    iota-derived index vector lowers to a real gather whose backward is
+    a serialized scatter on TPU (~9 ms/step on the BoxInst mask branch,
+    profiled). ``phases``: per output phase (shift, lerp weight), with
+    replicate-edge semantics (== the clipped-coordinate math)."""
+    n = x.shape[axis]
+    factor = len(phases)
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[axis] = (1, 1)
+    xp = jnp.pad(x, pad_width, mode='edge')
 
-    Implemented as ``factor`` static-slice lerps interleaved by reshape —
-    no gathers: ``jnp.take`` with an iota-derived index vector lowers to
-    a real gather whose backward is a serialized scatter on TPU
-    (~9 ms/step on the BoxInst mask branch, profiled)."""
+    def sl(shift):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(1 + shift, 1 + shift + n)
+        return xp[tuple(idx)]
+
+    outs = []
+    for s, wgt in phases:
+        lo, hi = sl(s), sl(s + 1)
+        outs.append(lo if wgt == 0.0 else (1.0 - wgt) * lo + wgt * hi)
+    ax = axis if axis >= 0 else x.ndim + axis
+    y = jnp.stack(outs, axis=ax + 1)
+    shape = list(x.shape)
+    shape[ax] = n * factor
+    return y.reshape(shape)
+
+
+def aligned_bilinear(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Upsample (..., H, W, C) by an integer factor, AdelaiDet-aligned."""
     assert factor >= 1 and isinstance(factor, int)
     if factor == 1:
         return x
-
-    def up_axis(x, axis):
-        n = x.shape[axis]
-        # replicate-pad by 1 on both sides: phase shifts are in {-1, 0}
-        # for s and s+1 <= 1 (factor//2 <= factor)
-        pad_width = [(0, 0)] * x.ndim
-        pad_width[axis] = (1, 1)
-        xp = jnp.pad(x, pad_width, mode='edge')
-
-        def sl(shift):
-            idx = [slice(None)] * x.ndim
-            idx[axis] = slice(1 + shift, 1 + shift + n)
-            return xp[tuple(idx)]
-
-        outs = []
-        for s, wgt in _aligned_axis_phases(n, factor):
-            lo, hi = sl(s), sl(s + 1)
-            outs.append(lo if wgt == 0.0 else (1.0 - wgt) * lo + wgt * hi)
-        # interleave phases: stack on a new axis right after `axis`
-        y = jnp.stack(outs, axis=axis + 1 if axis >= 0
-                      else x.ndim + axis + 1)
-        shape = list(x.shape)
-        ax = axis if axis >= 0 else x.ndim + axis
-        shape[ax] = n * factor
-        return y.reshape(shape)
-
-    x = up_axis(x, x.ndim - 3)
-    x = up_axis(x, x.ndim - 2)
+    phases = _aligned_axis_phases(x.shape[-3], factor)
+    x = _phase_upsample_axis(x, x.ndim - 3, phases)
+    x = _phase_upsample_axis(x, x.ndim - 2, phases)
     return x
 
 
@@ -92,6 +91,29 @@ def interpolate_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return x
+
+    def halfpixel_phases(factor):
+        # out f*q+ph samples coord q + (ph+0.5)/f - 0.5; replicate-edge
+        # slices reproduce the clipped-coordinate math exactly
+        phases = []
+        for ph in range(factor):
+            o = (ph + 0.5) / factor - 0.5
+            s = -1 if o < 0 else 0
+            phases.append((s, o - s))
+        return phases
+
+    # integer upsampling factors: static-slice phase lerps, no gathers
+    if not align_corners:
+        if oh % h == 0 and oh > h:
+            x = _phase_upsample_axis(x, x.ndim - 3,
+                                     halfpixel_phases(oh // h))
+            h = oh
+        if ow % w == 0 and ow > w:
+            x = _phase_upsample_axis(x, x.ndim - 2,
+                                     halfpixel_phases(ow // w))
+            w = ow
+        if (h, w) == (oh, ow):
+            return x
 
     def axis_coords(n_in, n_out):
         out = jnp.arange(n_out, dtype=jnp.float32)

@@ -261,3 +261,25 @@ def test_detectors_resnet_shapes(rng):
     vs = m.init(jax.random.PRNGKey(0), x)
     outs = m.apply(vs, x)
     assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+
+
+def test_interpolate_bilinear_matches_torch():
+    """interpolate_bilinear vs torch F.interpolate for both the integer-
+    factor phase fast path (x2, x4, x8) and the general fractional path,
+    align_corners False/True."""
+    import torch
+    import torch.nn.functional as F
+    from boxinstseg_tpu.ops.upsample import interpolate_bilinear
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 13, 9, 5).astype(np.float32)
+    xt = torch.as_tensor(x.transpose(0, 3, 1, 2))
+    for out_hw in [(26, 18), (52, 36), (104, 72), (26, 36), (20, 14),
+                   (7, 30), (13, 9)]:
+        for ac in (False, True):
+            want = F.interpolate(xt, size=out_hw, mode='bilinear',
+                                 align_corners=ac).numpy()
+            got = np.asarray(interpolate_bilinear(
+                jnp.asarray(x), out_hw, align_corners=ac))
+            np.testing.assert_allclose(
+                got.transpose(0, 3, 1, 2), want, rtol=1e-5, atol=1e-5,
+                err_msg=f'out_hw={out_hw} align_corners={ac}')
