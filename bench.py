@@ -61,15 +61,20 @@ def main():
     state = create_train_state(model, variables, tx)
     step = make_train_step(model, tx, mesh=None, donate=True)
 
-    # warmup/compile
+    # warmup/compile.  A host fetch (not block_until_ready) bounds the
+    # timed region: some remote-tunnel runtimes acknowledge enqueue
+    # before execution, so block_until_ready can return immediately —
+    # only a device->host transfer provably waits for the result.
     state, logs = step(state, batch)
-    jax.block_until_ready(logs['loss'])
+    float(logs['loss'])
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, logs = step(state, batch)
-    jax.block_until_ready(logs['loss'])
+    # the final loss depends on the final state, which chains through
+    # every donated step — one 4-byte fetch forces all `iters` steps
+    float(logs['loss'])
     dt = time.perf_counter() - t0
 
     img_per_sec = batch_size * iters / dt
