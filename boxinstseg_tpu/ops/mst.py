@@ -9,18 +9,34 @@ with it BoxLevelset / Box2Mask training) could not run on real hardware.
 
 This module is a fully on-device replacement:
 
-- ``boruvka_mst``: parallel Boruvka. Per round, every component picks its
-  lexicographically (weight, edge-index) minimal outgoing edge via
-  scatter-min, components merge through min-label hook + pointer-jumping
-  (converged per round, so the classic acyclicity argument applies), and
-  ceil(log2 N) rounds suffice. All ``lax`` control flow, fixed shapes.
-- ``root_tree``: level-synchronous BFS rooting at node 0 producing
-  (parent, depth) — one frontier expansion per scan step, bounded by the
-  same ``max_depth`` the downstream tree-filter scans use.
+- ``boruvka_mst_batched``: parallel Boruvka. Per round, every component
+  picks its lexicographically (weight, edge-index) minimal outgoing edge
+  via scatter-min, components merge through partner hooking +
+  pointer-jumping (converged per round, so the classic acyclicity
+  argument applies), and ceil(log2 N) rounds suffice.
+- ``root_tree_euler_batched``: Euler-tour + pointer-doubling list-ranking
+  rooting at node 0 producing (parent, depth).
+
+TPU design (see docs/tpu_performance_notes.md — gathers/scatters pay per
+ROW, ~6 ns each, almost regardless of row width):
+
+- every index table that is STATIC on the grid (edge endpoints, per-node
+  incident edges, Euler twin arcs, neighbor existence) is evaluated as
+  shifted/padded SLICES of the (B, H, W[, 4]) layout instead of a gather
+  — slices are free, 295k-row gathers are ~1.7 ms each at BoxLevelset
+  batch sizes;
+- the remaining genuinely data-dependent gathers in the pointer-doubling
+  rounds carry (value, pointer) PACKED in one two-column table with a
+  sentinel row, one width-2 row-gather per round instead of three;
+- all trees of a batch run as ONE flat block-diagonal problem (a vmapped
+  gather/scatter lowers to a serial per-batch loop on TPU);
+- the per-component argmin is an f32 scatter-min of precomputed int32
+  lexicographic ranks (i32 scatter-min lowers to a ~170 ms serial loop;
+  ranks < 2^24 are exact in f32).
 
 Lexicographic tie-breaking makes the edge order total, so the tree is
 unique and deterministic; for distinct weights it equals scipy's MST
-(tested against scipy.sparse.csgraph in tests/test_tree_filter.py).
+(tested against scipy.sparse.csgraph in tests/test_device_solvers.py).
 """
 from __future__ import annotations
 
@@ -44,7 +60,7 @@ def grid_edges(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
 
 @functools.lru_cache(maxsize=None)
 def grid_neighbors(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-node static tables for gather-only BFS:
+    """Per-node static tables (kept for the BFS rooting oracle):
     nbr (N, 4) neighbor node ids (left, right, up, down; -1 invalid) and
     eid (N, 4) the undirected edge id connecting to that neighbor
     (right edges first, then down edges, matching grid_edges)."""
@@ -75,71 +91,100 @@ def grid_neighbors(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
     return nbr, eid
 
 
-def boruvka_mst_batched(weights: jnp.ndarray, src: jnp.ndarray,
-                        dst: jnp.ndarray, n: int, node_eid: jnp.ndarray,
-                        node_slot_valid: jnp.ndarray) -> jnp.ndarray:
-    """Parallel Boruvka over a BATCH of same-topology graphs, run as ONE
-    flat block-diagonal graph (nodes of image b live at [b*n, (b+1)*n)).
+# slot order: 0=left, 1=right, 2=up, 3=down; twin flips the direction
+_TWIN_SLOT = (1, 0, 3, 2)
 
-    TPU cost notes (all measured on v5e at 96x96):
-    - vmapping the per-graph solver makes every gather/scatter carry a
-      batch dim, which XLA lowers to a serial per-batch loop — flattening
-      removes the batch dim entirely, so B trees cost one tree's ops;
-    - the per-component reduction is ONE f32 scatter-min keyed by label
-      (i32 scatter-min lowers to a serial loop, ~170 ms vs ~4 ms);
-    - the (weight, index) lexicographic order is precomputed once as
-      int32 ranks (batched stable argsort, then a non-stable argsort of
-      the permutation — a *stable* int argsort is ~200x slower).
+
+def _at_neighbor(p: jnp.ndarray, s: int, fill) -> jnp.ndarray:
+    """out[..., y, x] = p[..., y', x'] at the slot-``s`` neighbor (y', x')
+    of (y, x); ``fill`` where the neighbor is off-grid. Pure pad+slice —
+    the TPU-free replacement for every static neighbor-table gather."""
+    if s == 0:      # neighbor (y, x-1)
+        return jnp.concatenate(
+            [jnp.full_like(p[..., :, :1], fill), p[..., :, :-1]], -1)
+    if s == 1:      # neighbor (y, x+1)
+        return jnp.concatenate(
+            [p[..., :, 1:], jnp.full_like(p[..., :, :1], fill)], -1)
+    if s == 2:      # neighbor (y-1, x)
+        return jnp.concatenate(
+            [jnp.full_like(p[..., :1, :], fill), p[..., :-1, :]], -2)
+    return jnp.concatenate(
+        [p[..., 1:, :], jnp.full_like(p[..., :1, :], fill)], -2)
+
+
+def boruvka_mst_batched(weights: jnp.ndarray, h: int, w: int
+                        ) -> jnp.ndarray:
+    """Parallel Boruvka over a BATCH of HxW grids, run as ONE flat
+    block-diagonal graph (nodes of image b live at [b*n, (b+1)*n)).
 
     Args:
-      weights: (B, E) f32. src, dst: (E,) int32 endpoints (per graph).
-      n: nodes per graph (static).
-      node_eid / node_slot_valid: (N, S) static incident-edge tables
-        (``grid_neighbors`` for grids).
+      weights: (B, E) f32 edge weights, E = h*(w-1) + (h-1)*w laid out
+        [right edges row-major, then down edges row-major] (grid_edges).
     Returns:
       chosen: (B, E) bool — per graph, True for its n-1 tree edges.
+
+    Per round the only data-dependent index ops are: one f32 scatter-min
+    (component argmin), one width-2 row-gather of the selected edge's
+    endpoint labels, the pointer-jumping gathers, and the label
+    relabeling gather. Endpoint labels and the per-node incident-edge
+    min are shifted slices of the (B, H, W) label image — the
+    src/dst/incident tables of a grid are static.
     """
     bsz, e = weights.shape
+    n = h * w
+    n_right = h * (w - 1)
     ne, eg = bsz * n, bsz * e
     rounds = max(int(np.ceil(np.log2(max(n, 2)))), 1)
-    offs_n = (jnp.arange(bsz, dtype=jnp.int32) * n)[:, None]
     offs_e = (jnp.arange(bsz, dtype=jnp.int32) * e)[:, None]
-
-    src_f = (src[None] + offs_n).reshape(-1)            # (B*E,)
-    dst_f = (dst[None] + offs_n).reshape(-1)
-    s_eid = (node_eid[None] + offs_e[..., None]).reshape(ne, -1)
-    s_valid = jnp.broadcast_to(node_slot_valid[None],
-                               (bsz,) + node_slot_valid.shape
-                               ).reshape(ne, -1)
 
     # per-image total (weight, index) order as GLOBAL int32 ranks
     order_l = jnp.argsort(weights, axis=1, stable=True).astype(jnp.int32)
     rank_l = jnp.argsort(order_l, axis=1).astype(jnp.int32)
     order = (order_l + offs_e).reshape(-1)    # global rank -> global edge
-    rank = (rank_l + offs_e).reshape(-1)      # global edge -> global rank
+    rank_g = rank_l + offs_e                  # global edge -> global rank
+    rank_r = rank_g[:, :n_right].reshape(bsz, h, w - 1)
+    rank_d = rank_g[:, n_right:].reshape(bsz, h - 1, w)
 
     nodes = jnp.arange(ne, dtype=jnp.int32)
 
     def round_fn(carry):
-        lbl, chosen = carry
-        cs, cd = lbl[src_f], lbl[dst_f]
-        live = cs != cd
-        r = jnp.where(live, rank, eg)                     # (B*E,)
+        lbl3, chosen = carry
+        # endpoint labels of every edge: slices of the label image
+        cs_r, cd_r = lbl3[:, :, :-1], lbl3[:, :, 1:]
+        cs_d, cd_d = lbl3[:, :-1, :], lbl3[:, 1:, :]
+        r_r = jnp.where(cs_r != cd_r, rank_r, eg)
+        r_d = jnp.where(cs_d != cd_d, rank_d, eg)
 
-        # node-centric pre-min over the static incident slots (gathers)
-        rn = jnp.where(s_valid, r[s_eid], eg).min(axis=1)  # (B*N,)
-        rmin = jnp.full((ne,), eg, jnp.float32).at[lbl].min(
-            rn.astype(jnp.float32)).astype(jnp.int32)
+        # per-node min over its <=4 incident edges: padded slices
+        pad_c = jnp.full((bsz, h, 1), eg, jnp.int32)
+        pad_r = jnp.full((bsz, 1, w), eg, jnp.int32)
+        rn = jnp.minimum(
+            jnp.minimum(jnp.concatenate([r_r, pad_c], 2),      # right slot
+                        jnp.concatenate([pad_c, r_r], 2)),     # left slot
+            jnp.minimum(jnp.concatenate([r_d, pad_r], 1),      # down slot
+                        jnp.concatenate([pad_r, r_d], 1)))     # up slot
+
+        # per-COMPONENT min outgoing rank, keyed by label (f32: exact for
+        # ranks < 2^24, and i32 scatter-min lowers to a serial loop)
+        rmin = jnp.full((ne,), eg, jnp.float32).at[lbl3.reshape(-1)].min(
+            rn.reshape(-1).astype(jnp.float32)).astype(jnp.int32)
         has = rmin < eg
         e_sel = order[jnp.minimum(rmin, eg - 1)]           # (B*N,) edges
 
         chosen = chosen.at[jnp.where(has, e_sel, 0)].max(has)
 
+        # both endpoint labels of the selected edge: ONE width-2 gather
+        ends = jnp.concatenate([
+            jnp.stack([cs_r.reshape(bsz, -1), cd_r.reshape(bsz, -1)], -1),
+            jnp.stack([cs_d.reshape(bsz, -1), cd_d.reshape(bsz, -1)], -1),
+        ], axis=1).reshape(eg, 2)
+        ab = ends[e_sel]
+        a, b = ab[:, 0], ab[:, 1]
+
         # hook each component TO its partner (so every chosen edge merges
         # its two components this round — components at least halve per
         # round). The total (weight, idx) order makes mutual 2-cycles the
         # only possible cycles; break them to the smaller label.
-        a, b = cs[e_sel], cd[e_sel]
         partner = jnp.where(has, a + b - nodes, nodes)
         mutual = partner[partner] == nodes
         ptr = jnp.where(mutual & (nodes < partner), nodes, partner)
@@ -153,136 +198,173 @@ def boruvka_mst_batched(weights: jnp.ndarray, src: jnp.ndarray,
             return p2, jnp.any(p2 != p)
 
         ptr, _ = jax.lax.while_loop(prop_cond, prop_body, (ptr, True))
-        return ptr[lbl], chosen
+        lbl3 = ptr[lbl3.reshape(-1)].reshape(bsz, h, w)
+        # liveness of the NEW labels (slices + reduce, no gathers)
+        live = (jnp.any(lbl3[:, :, :-1] != lbl3[:, :, 1:])
+                | jnp.any(lbl3[:, :-1, :] != lbl3[:, 1:, :]))
+        return lbl3, chosen, live
 
     # while_loop with live-edge early exit: natural-image trees usually
     # connect in far fewer than the worst-case ceil(log2 N) rounds
     def cond(carry):
-        lbl, chosen, i = carry
-        return (i < rounds) & jnp.any(lbl[src_f] != lbl[dst_f])
+        _, _, i, live = carry
+        return (i < rounds) & live
 
     def body(carry):
-        lbl, chosen, i = carry
-        lbl, chosen = round_fn((lbl, chosen))
-        return lbl, chosen, i + 1
+        lbl3, chosen, i, _ = carry
+        lbl3, chosen, live = round_fn((lbl3, chosen))
+        return lbl3, chosen, i + 1, live
 
-    _, chosen, _ = jax.lax.while_loop(
-        cond, body, (nodes, jnp.zeros((eg,), bool), jnp.int32(0)))
+    lbl0 = nodes.reshape(bsz, h, w)
+    _, chosen, _, _ = jax.lax.while_loop(
+        cond, body,
+        (lbl0, jnp.zeros((eg,), bool), jnp.int32(0), jnp.bool_(True)))
     return chosen.reshape(bsz, e)
 
 
-def boruvka_mst(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
-                n: int,
-                node_eid: jnp.ndarray = None,
-                node_slot_valid: jnp.ndarray = None) -> jnp.ndarray:
+def boruvka_mst(weights: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Single-graph MST edge selection (see ``boruvka_mst_batched``)."""
-    if node_eid is None:
-        raise ValueError('boruvka_mst needs the static per-node incident '
-                         'tables (node_eid, node_slot_valid) — for grids '
-                         'use grid_neighbors(h, w)')
-    return boruvka_mst_batched(weights[None], src, dst, n, node_eid,
-                               node_slot_valid)[0]
+    return boruvka_mst_batched(weights[None], h, w)[0]
 
 
-def root_tree_euler_batched(chosen: jnp.ndarray, nbr: jnp.ndarray,
-                            eid: jnp.ndarray, n: int, max_depth: int
+def root_tree_euler_batched(chosen: jnp.ndarray, h: int, w: int,
+                            max_depth: int
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Root a BATCH of chosen-edge trees (each at its node 0) via Euler
-    tours + pointer-doubling list ranking — O(log N) rounds of pure
-    gathers over ONE flat arc array (no batch dims: a vmapped gather
-    serializes per batch element on TPU).
+    """Root a BATCH of chosen-edge grid trees (each at its node 0) via
+    Euler tours + pointer-doubling list ranking — O(log N) rounds over
+    ONE flat arc array (no batch dims: a vmapped gather serializes per
+    batch element on TPU).
 
     The BFS formulation walked ``max_depth`` (512) sequential frontier
     levels (~440 ms per BoxLevelset step on v5e); the Euler tour of the
-    2(N-1) arcs is ranked in ceil(log2 4N) (~16) doubling rounds instead:
+    2(N-1) arcs is ranked in ceil(log2 2N) (~15) doubling rounds instead:
 
-    1. arcs are (node, slot) pairs over the STATIC 4-slot neighbor table;
-       twin(a) flips the slot (left<->right, up<->down);
+    1. arcs are (node, slot) pairs over the STATIC 4-slot neighbor
+       layout; twin(a) flips the slot (left<->right, up<->down);
     2. succ(a=(u->v)) = the next existing arc out of v cyclically after
-       twin slot — the classic Euler-tour successor;
+       the twin slot — the classic Euler-tour successor. Arc existence
+       at the neighbor is a shifted slice of the (B, H, W, 4) existence
+       planes (``_at_neighbor``), not a gather;
     3. cutting each tour at the first arc out of its root and suffix-
        summing (+1 down / -1 up after a first ranking pass) gives, per
-       node, its unique discovery arc -> (parent, depth) exactly.
+       node, its unique discovery arc -> (parent, depth) exactly. The
+       down test d > d[twin] reads the twin's rank through the same
+       shifted slices.
+
+    Each doubling round is ONE width-2 row-gather of a (value, pointer)
+    packed table with a sentinel row (see ``ops/tree_filter.py``); the
+    second pass replays the first pass's pointer trace.
 
     Nodes deeper than ``max_depth`` (beyond the downstream scan budget)
     are detached into isolated roots, matching the BFS semantics.
 
     Args:
-      chosen: (B, E) bool tree edges. nbr/eid: (N, 4) per-graph tables.
-      n: nodes per graph; max_depth: static depth budget.
+      chosen: (B, E) bool tree edges (grid_edges layout).
     Returns:
       (parent, depth): (B, N) int32 each, LOCAL per-graph node ids.
     """
     bsz, e = chosen.shape
+    n = h * w
+    n_right = h * (w - 1)
     ne = bsz * n
     n4 = 4 * ne
     ids = jnp.arange(n4, dtype=jnp.int32)
-    twin_slot = jnp.asarray([1, 0, 3, 2], jnp.int32)
-    offs_n = (jnp.arange(bsz, dtype=jnp.int32) * n)[:, None]
-    offs_e = (jnp.arange(bsz, dtype=jnp.int32) * e)[:, None]
 
-    eid_f = (eid[None] + offs_e[..., None]).reshape(ne, 4)
-    nbr_ok = jnp.broadcast_to((nbr >= 0)[None], (bsz, n, 4)).reshape(ne, 4)
-    nbr_f = (jnp.maximum(nbr, 0)[None] + offs_n[..., None]).reshape(ne, 4)
+    ch_r = chosen[:, :n_right].reshape(bsz, h, w - 1)
+    ch_d = chosen[:, n_right:].reshape(bsz, h - 1, w)
+    f_c = jnp.zeros((bsz, h, 1), bool)
+    f_r = jnp.zeros((bsz, 1, w), bool)
+    # arc existence per (node, slot): padded slices of the edge planes
+    exist4 = jnp.stack([
+        jnp.concatenate([f_c, ch_r], 2),       # left
+        jnp.concatenate([ch_r, f_c], 2),       # right
+        jnp.concatenate([f_r, ch_d], 1),       # up
+        jnp.concatenate([ch_d, f_r], 1),       # down
+    ], axis=-1)                                # (B, H, W, 4)
 
-    exist = chosen.reshape(-1)[eid_f] & nbr_ok              # (B*N, 4)
-    u_of = ids // 4                                         # (4*B*N,)
-    s_of = ids % 4
-    valid = exist.reshape(-1)
-    v_of = nbr_f.reshape(-1)                                # arc target
+    # succ slot: first existing arc out of the neighbor v, cyclically
+    # after the twin slot. exist[v, j] = shifted slice of plane j.
+    ok = jnp.stack([
+        jnp.stack([_at_neighbor(exist4[..., (_TWIN_SLOT[s] + 1 + k) % 4],
+                                s, False)
+                   for k in range(4)], axis=-1)
+        for s in range(4)], axis=-2)           # (B, H, W, 4 slots, 4 k)
+    pick = jnp.argmax(ok, axis=-1).astype(jnp.int32)       # (B, H, W, 4)
+    twin_tbl = jnp.asarray(_TWIN_SLOT, jnp.int32)
+    succ_slot = (twin_tbl[None, None, None] + 1 + pick) % 4
 
-    # twin arc id: (v, twin_slot[s])
-    twin = v_of * 4 + twin_slot[s_of]
+    # global neighbor node id per (node, slot): static arithmetic
+    yy = jax.lax.broadcasted_iota(jnp.int32, (bsz, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (bsz, h, w), 2)
+    bb = jax.lax.broadcasted_iota(jnp.int32, (bsz, h, w), 0)
+    node_g = bb * n + yy * w + xx
+    v_of4 = jnp.stack([node_g - 1, node_g + 1, node_g - w, node_g + w],
+                      axis=-1)                 # off-grid slots are never
+    valid = exist4                             # existing, so ids are moot
 
-    # succ(a) = first existing arc out of v after twin slot, cyclically
-    cand = (twin_slot[s_of][:, None] + jnp.arange(1, 5,
-                                                  dtype=jnp.int32)[None]) % 4
-    ok = jnp.take_along_axis(exist[v_of], cand, axis=1)      # (4BN, 4)
-    pick = jnp.argmax(ok, axis=1)
-    succ_slot = jnp.take_along_axis(cand, pick[:, None], axis=1)[:, 0]
-    succ = jnp.where(valid, v_of * 4 + succ_slot, ids)
+    succ = jnp.where(valid, v_of4 * 4 + succ_slot,
+                     ids.reshape(bsz, h, w, 4))
 
-    # cut each tour at a0 = first existing arc out of its root (b*n)
-    roots = offs_n[:, 0]
-    a0 = roots * 4 + jnp.argmax(exist[roots], axis=1).astype(jnp.int32)
-    cut_at = jnp.zeros((n4,), bool).at[a0].set(True)         # B writes
-    nxt = jnp.where(cut_at[succ] | ~valid, ids, succ)
+    # cut each tour at a0 = first existing arc out of its root (b*n):
+    # succ == a0 of its own graph is an elementwise compare
+    root_slot = jnp.argmax(exist4[:, 0, 0, :], axis=1).astype(jnp.int32)
+    roots = jnp.arange(bsz, dtype=jnp.int32) * n
+    a0 = (roots * 4 + root_slot)[:, None, None, None]       # (B,1,1,1)
+    nxt = jnp.where((succ == a0) | ~valid,
+                    ids.reshape(bsz, h, w, 4), succ).reshape(-1)
+    valid_f = valid.reshape(-1)
 
     # each per-tree list holds at most 2(n-1) valid arcs
     rounds = max(int(np.ceil(np.log2(max(2 * n, 2)))), 1)
 
     def suffix_sum_trace(vals):
-        """S(a) = sum of vals over the list from a to the end, inclusive
-        (pointer-doubling with alive flags, like ops/tree_filter); also
-        returns the per-round (pointer, alive) trace so the second pass
-        can replay it with ONE gather per round instead of three.
-        NOTE: a zero-sentinel formulation (2 gathers/round, no trace)
-        measured 40 ms SLOWER end-to-end on v5e — XLA fuses the masked
-        form better; keep the alive flags."""
+        """S(a) = sum of vals over the list from a to the end, inclusive.
+
+        Wyllie pointer doubling with the (value, pointer) pair PACKED
+        into one two-column table + a zero sentinel row: each round is
+        ONE width-2 row-gather instead of three width-1 gathers — TPU
+        gathers pay per ROW (~6 ns), so this third-ed the dominant cost
+        of the rooting (profiled 148 -> ~30 ms/step at BoxLevelset b4).
+        List-end/dead arcs point at the sentinel, whose row (0, SENT) is
+        a fixed point, replacing the alive mask exactly. Also returns
+        the per-round pointer trace so the second pass can replay the
+        chains with one gather per round."""
+        sent = n4
+        q0 = jnp.where((nxt == ids), sent, nxt)
+
         def body(carry, _):
-            s, p, alive = carry
-            s = s + jnp.where(alive, s[p], 0)
-            return (s, p[p], alive & alive[p]), (p, alive)
-        (s, _, _), trace = jax.lax.scan(
-            body, (vals, nxt, nxt != ids), None, length=rounds)
+            s, q = carry
+            t = jnp.concatenate(
+                [jnp.append(s, 0)[:, None], jnp.append(q, sent)[:, None]],
+                axis=1)                                  # (n4+1, 2)
+            g = t[q]                                     # ONE row-gather
+            return (s + g[:, 0], g[:, 1]), q
+
+        (s, _), trace = jax.lax.scan(body, (vals, q0), None, length=rounds)
         return s, trace
 
     def suffix_sum_replay(vals, trace):
-        def body(s, pa):
-            p, alive = pa
-            return s + jnp.where(alive, s[p], 0), None
+        def body(s, q):
+            return s + jnp.append(s, 0)[q], None
         s, _ = jax.lax.scan(body, vals, trace)
         return s
 
     # pass 1: d(a) = #arcs from a to the end (inclusive) -> order compare
-    d, trace = suffix_sum_trace(jnp.where(valid, 1, 0).astype(jnp.int32))
+    d, trace = suffix_sum_trace(jnp.where(valid_f, 1, 0).astype(jnp.int32))
     # a is the FIRST traversal of its edge iff it comes earlier than its
-    # twin, i.e. has the longer suffix
-    down = valid & (d > d[twin])
+    # twin, i.e. has the longer suffix. twin(a=(u,s)) = (v, twin_slot[s]):
+    # its rank is a shifted slice of the twin-slot rank plane.
+    d4 = d.reshape(bsz, h, w, 4)
+    d_twin = jnp.stack(
+        [_at_neighbor(d4[..., _TWIN_SLOT[s]], s, 0) for s in range(4)],
+        axis=-1)
+    down = valid & (d4 > d_twin)
+    down_f = down.reshape(-1)
 
     # pass 2: depth prefix sums of +1 (down) / -1 (up), replaying pass
     # 1's pointer chains
-    val = jnp.where(down, 1, jnp.where(valid, -1, 0)).astype(jnp.int32)
+    val = jnp.where(down_f, 1,
+                    jnp.where(valid_f, -1, 0)).astype(jnp.int32)
     s2 = suffix_sum_replay(val, trace)
     prefix_incl = val - s2          # per-tour total sum is 0
 
@@ -290,11 +372,12 @@ def root_tree_euler_batched(chosen: jnp.ndarray, nbr: jnp.ndarray,
     # nodes get exactly one write with parent id >= 0 and depth >= 1, so
     # a max-scatter from a zero init is exact; roots get no write and are
     # patched densely after.
-    tgt = jnp.where(down, v_of, ne)          # shared dump slot
+    u_of = ids // 4
+    tgt = jnp.where(down_f, v_of4.reshape(-1), ne)   # shared dump slot
     parent = jnp.full((ne + 1,), 0, jnp.int32).at[tgt].max(
-        jnp.where(down, u_of, 0))[:ne]
+        jnp.where(down_f, u_of, 0))[:ne]
     depth = jnp.zeros((ne + 1,), jnp.int32).at[tgt].max(
-        jnp.where(down, prefix_incl, 0))[:ne]
+        jnp.where(down_f, prefix_incl, 0))[:ne]
     node_ids = jnp.arange(ne, dtype=jnp.int32)
     is_root = node_ids % n == 0
     parent = jnp.where(is_root, node_ids, parent)
@@ -304,16 +387,15 @@ def root_tree_euler_batched(chosen: jnp.ndarray, nbr: jnp.ndarray,
     over = depth > max_depth
     parent = jnp.where(over, node_ids, parent)
     depth = jnp.where(over, 0, depth)
+    offs_n = (jnp.arange(bsz, dtype=jnp.int32) * n)[:, None]
     parent = parent.reshape(bsz, n) - offs_n      # back to local ids
     return parent, depth.reshape(bsz, n)
 
 
-def root_tree_euler(nbr: jnp.ndarray, eid: jnp.ndarray,
-                    chosen: jnp.ndarray, n: int, max_depth: int
+def root_tree_euler(chosen: jnp.ndarray, h: int, w: int, max_depth: int
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-tree rooting (see ``root_tree_euler_batched``)."""
-    parent, depth = root_tree_euler_batched(chosen[None], nbr, eid, n,
-                                            max_depth)
+    parent, depth = root_tree_euler_batched(chosen[None], h, w, max_depth)
     return parent[0], depth[0]
 
 
@@ -373,22 +455,13 @@ def grid_mst_device(w_right: jnp.ndarray, w_down: jnp.ndarray,
 
     Args:
       w_right: (B, H, W-1) edge weights; w_down: (B, H-1, W).
-      max_depth: BFS/scan depth budget (static).
+      max_depth: scan depth budget (static).
     Returns:
       (parent, depth): (B, H*W) int32 each.
     """
     b, h, wm1 = w_right.shape
     w = wm1 + 1
-    n = h * w
-    src_np, dst_np = grid_edges(h, w)
-    nbr_np, eid_np = grid_neighbors(h, w)
-    src = jnp.asarray(src_np)
-    dst = jnp.asarray(dst_np)
-    nbr = jnp.asarray(nbr_np)
-    eid = jnp.asarray(eid_np)
     weights = jnp.concatenate(
         [w_right.reshape(b, -1), w_down.reshape(b, -1)], axis=1)
-
-    chosen = boruvka_mst_batched(weights.astype(jnp.float32), src, dst, n,
-                                 eid, jnp.asarray(nbr_np >= 0))
-    return root_tree_euler_batched(chosen, nbr, eid, n, max_depth)
+    chosen = boruvka_mst_batched(weights.astype(jnp.float32), h, w)
+    return root_tree_euler_batched(chosen, h, w, max_depth)

@@ -146,37 +146,64 @@ def _flat_parent(parent):
 
 def _up_pass(h, w, parent, depth, max_depth):
     """Leaf->root subtree aggregation: S_i = h_i + sum_children w_c * S_c.
-    h: (B, N, C); w: (B, N) (root edge weight must be 0)."""
+    h: (B, N, C); w: (B, N) (root edge weight must be 0).
+
+    Pointer-doubling invariant (see module comment); the (path product,
+    ancestor) pair is PACKED into one two-column table with a sentinel
+    row at index bn, so each round pays ONE width-2 row-gather + one
+    scatter instead of three gathers + one scatter — TPU gathers cost
+    per row, not per byte (docs/tpu_performance_notes.md). Root-clamped
+    ("dead") nodes point at the sentinel, whose row (0, sentinel-bits)
+    is a fixed point; their contributions land in the scatter's dump row
+    bn, which IS the sentinel index."""
     rounds = max(int(np.ceil(np.log2(max(max_depth, 2)))), 1) + 1
     b, n, c = h.shape
     bn = b * n
+    out_dtype = h.dtype
+    h = h.astype(jnp.float32)        # packed table columns must be 32-bit
+    w = w.astype(jnp.float32)
+    sent = bn
+    sent_bits = jax.lax.bitcast_convert_type(
+        jnp.int32(sent), jnp.float32)
+
+    anc0 = _flat_parent(parent)
+    alive0 = (depth > 0).reshape(-1)
+    q0 = jnp.where(alive0, anc0, sent)
 
     def round_fn(carry, _):
-        acc, anc, p, alive = carry
-        # scatter P_i * acc_i into anc_i for alive (non-root-clamped) nodes
-        contrib = jnp.where(alive[:, None], p[:, None] * acc, 0.0)
-        tgt = jnp.where(alive, anc, bn)          # shared dump slot
-        add = jnp.zeros((bn + 1, c), acc.dtype).at[tgt].add(contrib)[:bn]
-        acc = acc + add
-        # double the pointer
-        anc2 = anc[anc]
-        p2 = p * p[anc]
-        alive2 = alive & alive[anc]
-        return (acc, anc2, p2, alive2), None
+        acc, p, q = carry
+        # scatter P_i * acc_i into the 2^t-ancestor; dead rows hit bn
+        acc = acc + jnp.zeros((bn + 1, c), acc.dtype
+                              ).at[q].add(p[:, None] * acc)[:bn]
+        # double the pointer: one packed row-gather
+        t = jnp.concatenate(
+            [jnp.append(p, 0.0)[:, None],
+             jnp.append(jax.lax.bitcast_convert_type(q, jnp.float32),
+                        sent_bits)[:, None]], axis=1)      # (bn+1, 2)
+        g = t[q]
+        return (acc, p * g[:, 0],
+                jax.lax.bitcast_convert_type(g[:, 1], jnp.int32)), None
 
-    # anc at distance 1 = parent; alive = not root (root points to itself)
-    (acc, _, _, _), _ = jax.lax.scan(
-        round_fn,
-        (h.reshape(bn, c), _flat_parent(parent), w.reshape(-1),
-         (depth > 0).reshape(-1)),
+    (acc, _, _), _ = jax.lax.scan(
+        round_fn, (h.reshape(bn, c), w.reshape(-1), q0),
         None, length=rounds)
-    return acc.reshape(b, n, c)
+    return acc.reshape(b, n, c).astype(out_dtype)
 
 
 def _down_pass(s, w, parent, depth, max_depth):
-    """Root->leaf completion: U_i = S_i + w_i * (U_parent - w_i * S_i)."""
+    """Root->leaf completion: U_i = S_i + w_i * (U_parent - w_i * S_i).
+
+    The (A, B) linear-recurrence composition doubling needs a[anc] (width
+    C), b[anc] and anc[anc] per round; all three are PACKED into one
+    width-(C+2) table so each round is ONE row-gather (same bytes the
+    width-C gather alone moved, one third the gather rows). No sentinel
+    needed: b_root = 0 makes the root row a fixed point of the
+    recurrence and parent[root] = root clamps the pointer."""
     rounds = max(int(np.ceil(np.log2(max(max_depth, 2)))), 1) + 1
     bsz, n, c = s.shape
+    out_dtype = s.dtype
+    s = s.astype(jnp.float32)        # packed table columns must be 32-bit
+    w = w.astype(jnp.float32)
     is_root = (depth == 0)[..., None]
     we = w[..., None]
     a = jnp.where(is_root, s, s * (1.0 - we * we)).reshape(bsz * n, c)
@@ -184,15 +211,20 @@ def _down_pass(s, w, parent, depth, max_depth):
 
     def round_fn(carry, _):
         a, b, anc = carry
-        a2 = a + b[:, None] * a[anc]
-        b2 = b * b[anc]
-        anc2 = anc[anc]
+        t = jnp.concatenate(
+            [a, b[:, None],
+             jax.lax.bitcast_convert_type(anc, jnp.float32)[:, None]],
+            axis=1)                                        # (bn, c+2)
+        g = t[anc]
+        a2 = a + b[:, None] * g[:, :c]
+        b2 = b * g[:, c]
+        anc2 = jax.lax.bitcast_convert_type(g[:, c + 1], jnp.int32)
         return (a2, b2, anc2), None
 
     (a, b, _), _ = jax.lax.scan(round_fn, (a, b, _flat_parent(parent)),
                                 None, length=rounds)
     # b has absorbed a zero (root) on every path => U = a
-    return a.reshape(bsz, n, c)
+    return a.reshape(bsz, n, c).astype(out_dtype)
 
 
 def _aggregate_su(h, w, parent, depth, max_depth):

@@ -66,16 +66,11 @@ def test_hungarian_match_respects_padding(rng):
 def test_boruvka_matches_scipy(rng):
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import minimum_spanning_tree
-    from boxinstseg_tpu.ops.mst import (boruvka_mst, grid_edges,
-                                        grid_neighbors)
+    from boxinstseg_tpu.ops.mst import boruvka_mst, grid_edges
     for h, w in [(4, 4), (9, 6), (16, 16), (2, 25)]:
         n = h * w
         src, dst = grid_edges(h, w)
-        nbr, eid = grid_neighbors(h, w)
-        solve = jax.jit(
-            lambda W: boruvka_mst(jnp.asarray(src), jnp.asarray(dst), W, n,
-                                  node_eid=jnp.asarray(eid),
-                                  node_slot_valid=jnp.asarray(nbr >= 0)))
+        solve = jax.jit(lambda W, h=h, w=w: boruvka_mst(W, h, w))
         # several draws per shape: a round-budget stall (merge slower than
         # components-halve-per-round) only shows on some weight orders
         for _ in range(5):
@@ -99,13 +94,12 @@ def test_euler_rooting_matches_bfs_oracle(rng):
         nbr, eid = grid_neighbors(h, w)
         wgt = jnp.asarray((rng.rand(len(src)) * 10).astype(np.float32))
         nbr_j, eid_j = jnp.asarray(nbr), jnp.asarray(eid)
-        chosen = jax.jit(lambda W: boruvka_mst(
-            jnp.asarray(src), jnp.asarray(dst), W, n, node_eid=eid_j,
-            node_slot_valid=nbr_j >= 0))(wgt)
+        chosen = jax.jit(
+            lambda W, h=h, w=w: boruvka_mst(W, h, w))(wgt)
         p_ref, d_ref = jax.jit(lambda c: root_tree(
             nbr_j, eid_j, c, n, max_depth))(chosen)
-        p_got, d_got = jax.jit(lambda c: root_tree_euler(
-            nbr_j, eid_j, c, n, max_depth))(chosen)
+        p_got, d_got = jax.jit(lambda c, h=h, w=w: root_tree_euler(
+            c, h, w, max_depth))(chosen)
         np.testing.assert_array_equal(np.asarray(d_got), np.asarray(d_ref))
         np.testing.assert_array_equal(np.asarray(p_got), np.asarray(p_ref))
 
@@ -114,18 +108,13 @@ def test_batched_mst_matches_per_graph(rng):
     """The flat block-diagonal batched solver must reproduce per-graph
     results exactly (trees must never leak across batch elements)."""
     from boxinstseg_tpu.ops.mst import (boruvka_mst_batched, grid_edges,
-                                        grid_neighbors,
                                         root_tree_euler_batched)
     h, w, B = 9, 7, 3
     n = h * w
     src, dst = grid_edges(h, w)
-    nbr, eid = grid_neighbors(h, w)
-    nbr_j, eid_j = jnp.asarray(nbr), jnp.asarray(eid)
     wgt = jnp.asarray((rng.rand(B, len(src)) * 10).astype(np.float32))
-    solve = jax.jit(lambda W: boruvka_mst_batched(
-        W, jnp.asarray(src), jnp.asarray(dst), n, eid_j, nbr_j >= 0))
-    root = jax.jit(lambda c: root_tree_euler_batched(c, nbr_j, eid_j, n,
-                                                     200))
+    solve = jax.jit(lambda W: boruvka_mst_batched(W, h, w))
+    root = jax.jit(lambda c: root_tree_euler_batched(c, h, w, 200))
     ch_b = solve(wgt)
     p_b, d_b = root(ch_b)
     for i in range(B):
