@@ -135,15 +135,26 @@ def boruvka_mst_batched(weights: jnp.ndarray, h: int, w: int
     n_right = h * (w - 1)
     ne, eg = bsz * n, bsz * e
     rounds = max(int(np.ceil(np.log2(max(n, 2)))), 1)
-    offs_e = (jnp.arange(bsz, dtype=jnp.int32) * e)[:, None]
 
-    # per-image total (weight, index) order as GLOBAL int32 ranks
-    order_l = jnp.argsort(weights, axis=1, stable=True).astype(jnp.int32)
-    rank_l = jnp.argsort(order_l, axis=1).astype(jnp.int32)
-    order = (order_l + offs_e).reshape(-1)    # global rank -> global edge
-    rank_g = rank_l + offs_e                  # global edge -> global rank
-    rank_r = rank_g[:, :n_right].reshape(bsz, h, w - 1)
-    rank_d = rank_g[:, n_right:].reshape(bsz, h - 1, w)
+    # The lexicographic (weight, edge-index) component argmin runs as TWO
+    # f32 scatter-mins per round — min weight, then min edge id among
+    # weight-ties — instead of precomputed int ranks: the rank setup was
+    # two stable argsorts, and jnp.argsort's int path (inverting the
+    # permutation) lowers ~200x slower than the f32 sort on TPU — 67 ms
+    # of a 92 ms build at BoxLevelset shapes (docs/tpu_performance_notes).
+    w_r = weights[:, :n_right].reshape(bsz, h, w - 1)
+    w_d = weights[:, n_right:].reshape(bsz, h - 1, w)
+    inf = jnp.float32(jnp.inf)
+    # static global edge ids as iota planes (f32 scatter-min keys stay
+    # exact: bsz * e < 2^24 at every realistic tree size)
+    bb_r = jax.lax.broadcasted_iota(jnp.int32, (bsz, h, w - 1), 0)
+    yy_r = jax.lax.broadcasted_iota(jnp.int32, (bsz, h, w - 1), 1)
+    xx_r = jax.lax.broadcasted_iota(jnp.int32, (bsz, h, w - 1), 2)
+    eid_r = (bb_r * e + yy_r * (w - 1) + xx_r).astype(jnp.float32)
+    bb_d = jax.lax.broadcasted_iota(jnp.int32, (bsz, h - 1, w), 0)
+    yy_d = jax.lax.broadcasted_iota(jnp.int32, (bsz, h - 1, w), 1)
+    xx_d = jax.lax.broadcasted_iota(jnp.int32, (bsz, h - 1, w), 2)
+    eid_d = (bb_d * e + n_right + yy_d * w + xx_d).astype(jnp.float32)
 
     nodes = jnp.arange(ne, dtype=jnp.int32)
 
@@ -152,26 +163,46 @@ def boruvka_mst_batched(weights: jnp.ndarray, h: int, w: int
         # endpoint labels of every edge: slices of the label image
         cs_r, cd_r = lbl3[:, :, :-1], lbl3[:, :, 1:]
         cs_d, cd_d = lbl3[:, :-1, :], lbl3[:, 1:, :]
-        r_r = jnp.where(cs_r != cd_r, rank_r, eg)
-        r_d = jnp.where(cs_d != cd_d, rank_d, eg)
+        act_r = cs_r != cd_r
+        act_d = cs_d != cd_d
+        ww_r = jnp.where(act_r, w_r, inf)
+        ww_d = jnp.where(act_d, w_d, inf)
 
-        # per-node min over its <=4 incident edges: padded slices
-        pad_c = jnp.full((bsz, h, 1), eg, jnp.int32)
-        pad_r = jnp.full((bsz, 1, w), eg, jnp.int32)
-        rn = jnp.minimum(
-            jnp.minimum(jnp.concatenate([r_r, pad_c], 2),      # right slot
-                        jnp.concatenate([pad_c, r_r], 2)),     # left slot
-            jnp.minimum(jnp.concatenate([r_d, pad_r], 1),      # down slot
-                        jnp.concatenate([pad_r, r_d], 1)))     # up slot
+        # per-node min weight over its <=4 incident edges: padded slices
+        pad_c = jnp.full((bsz, h, 1), inf, jnp.float32)
+        pad_r = jnp.full((bsz, 1, w), inf, jnp.float32)
+        wn = jnp.minimum(
+            jnp.minimum(jnp.concatenate([ww_r, pad_c], 2),     # right slot
+                        jnp.concatenate([pad_c, ww_r], 2)),    # left slot
+            jnp.minimum(jnp.concatenate([ww_d, pad_r], 1),     # down slot
+                        jnp.concatenate([pad_r, ww_d], 1)))    # up slot
 
-        # per-COMPONENT min outgoing rank, keyed by label (f32: exact for
-        # ranks < 2^24, and i32 scatter-min lowers to a serial loop)
-        rmin = jnp.full((ne,), eg, jnp.float32).at[lbl3.reshape(-1)].min(
-            rn.reshape(-1).astype(jnp.float32)).astype(jnp.int32)
-        has = rmin < eg
-        e_sel = order[jnp.minimum(rmin, eg - 1)]           # (B*N,) edges
+        # phase 1: per-COMPONENT min weight, keyed by label, broadcast
+        # back to nodes (one gather)
+        lbl_f = lbl3.reshape(-1)
+        wmin = jnp.full((ne,), inf, jnp.float32).at[lbl_f].min(
+            wn.reshape(-1))
+        wc = wmin[lbl_f].reshape(bsz, h, w)[..., None]  # (B, H, W, 1)
 
-        chosen = chosen.at[jnp.where(has, e_sel, 0)].max(has)
+        # phase 2: min edge id among incident edges achieving the
+        # component min (exact f32 equality: same value propagated)
+        wc_r, wc_d = wc[..., 0][:, :, :-1], wc[..., 0][:, :-1, :]
+        wc_l, wc_u = wc[..., 0][:, :, 1:], wc[..., 0][:, 1:, :]
+        ce_r = jnp.where(act_r & (ww_r == wc_r), eid_r, inf)
+        ce_l = jnp.where(act_r & (ww_r == wc_l), eid_r, inf)
+        ce_d = jnp.where(act_d & (ww_d == wc_d), eid_d, inf)
+        ce_u = jnp.where(act_d & (ww_d == wc_u), eid_d, inf)
+        en = jnp.minimum(
+            jnp.minimum(jnp.concatenate([ce_r, pad_c], 2),
+                        jnp.concatenate([pad_c, ce_l], 2)),
+            jnp.minimum(jnp.concatenate([ce_d, pad_r], 1),
+                        jnp.concatenate([pad_r, ce_u], 1)))
+        emin = jnp.full((ne,), inf, jnp.float32).at[lbl_f].min(
+            en.reshape(-1))
+        has = jnp.isfinite(emin)
+        e_sel = jnp.where(has, emin, 0).astype(jnp.int32)  # (B*N,) edges
+
+        chosen = chosen.at[e_sel].max(has)
 
         # both endpoint labels of the selected edge: ONE width-2 gather
         ends = jnp.concatenate([
@@ -245,15 +276,15 @@ def root_tree_euler_batched(chosen: jnp.ndarray, h: int, w: int,
        the twin slot — the classic Euler-tour successor. Arc existence
        at the neighbor is a shifted slice of the (B, H, W, 4) existence
        planes (``_at_neighbor``), not a gather;
-    3. cutting each tour at the first arc out of its root and suffix-
-       summing (+1 down / -1 up after a first ranking pass) gives, per
-       node, its unique discovery arc -> (parent, depth) exactly. The
-       down test d > d[twin] reads the twin's rank through the same
-       shifted slices.
+    3. cutting each tour at the first arc out of its root and ranking it
+       (suffix count of valid arcs) identifies, per node, its unique
+       discovery arc -> parent exactly (the down test d > d[twin] reads
+       the twin's rank through the same shifted slices); depth then
+       comes from pointer doubling over the parent array itself — ne
+       rows per round instead of replaying the 4*ne-row arc chains.
 
     Each doubling round is ONE width-2 row-gather of a (value, pointer)
-    packed table with a sentinel row (see ``ops/tree_filter.py``); the
-    second pass replays the first pass's pointer trace.
+    packed table with a sentinel row (see ``ops/tree_filter.py``).
 
     Nodes deeper than ``max_depth`` (beyond the downstream scan budget)
     are detached into isolated roots, matching the BFS semantics.
@@ -317,7 +348,7 @@ def root_tree_euler_batched(chosen: jnp.ndarray, h: int, w: int,
     # each per-tree list holds at most 2(n-1) valid arcs
     rounds = max(int(np.ceil(np.log2(max(2 * n, 2)))), 1)
 
-    def suffix_sum_trace(vals):
+    def suffix_count(vals):
         """S(a) = sum of vals over the list from a to the end, inclusive.
 
         Wyllie pointer doubling with the (value, pointer) pair PACKED
@@ -326,9 +357,7 @@ def root_tree_euler_batched(chosen: jnp.ndarray, h: int, w: int,
         gathers pay per ROW (~6 ns), so this third-ed the dominant cost
         of the rooting (profiled 148 -> ~30 ms/step at BoxLevelset b4).
         List-end/dead arcs point at the sentinel, whose row (0, SENT) is
-        a fixed point, replacing the alive mask exactly. Also returns
-        the per-round pointer trace so the second pass can replay the
-        chains with one gather per round."""
+        a fixed point, replacing the alive mask exactly."""
         sent = n4
         q0 = jnp.where((nxt == ids), sent, nxt)
 
@@ -338,19 +367,13 @@ def root_tree_euler_batched(chosen: jnp.ndarray, h: int, w: int,
                 [jnp.append(s, 0)[:, None], jnp.append(q, sent)[:, None]],
                 axis=1)                                  # (n4+1, 2)
             g = t[q]                                     # ONE row-gather
-            return (s + g[:, 0], g[:, 1]), q
+            return (s + g[:, 0], g[:, 1]), None
 
-        (s, _), trace = jax.lax.scan(body, (vals, q0), None, length=rounds)
-        return s, trace
-
-    def suffix_sum_replay(vals, trace):
-        def body(s, q):
-            return s + jnp.append(s, 0)[q], None
-        s, _ = jax.lax.scan(body, vals, trace)
+        (s, _), _ = jax.lax.scan(body, (vals, q0), None, length=rounds)
         return s
 
     # pass 1: d(a) = #arcs from a to the end (inclusive) -> order compare
-    d, trace = suffix_sum_trace(jnp.where(valid_f, 1, 0).astype(jnp.int32))
+    d = suffix_count(jnp.where(valid_f, 1, 0).astype(jnp.int32))
     # a is the FIRST traversal of its edge iff it comes earlier than its
     # twin, i.e. has the longer suffix. twin(a=(u,s)) = (v, twin_slot[s]):
     # its rank is a shifted slice of the twin-slot rank plane.
@@ -361,27 +384,39 @@ def root_tree_euler_batched(chosen: jnp.ndarray, h: int, w: int,
     down = valid & (d4 > d_twin)
     down_f = down.reshape(-1)
 
-    # pass 2: depth prefix sums of +1 (down) / -1 (up), replaying pass
-    # 1's pointer chains
-    val = jnp.where(down_f, 1,
-                    jnp.where(valid_f, -1, 0)).astype(jnp.int32)
-    s2 = suffix_sum_replay(val, trace)
-    prefix_incl = val - s2          # per-tour total sum is 0
-
-    # each node's unique discovery arc writes (parent, depth). Non-root
-    # nodes get exactly one write with parent id >= 0 and depth >= 1, so
-    # a max-scatter from a zero init is exact; roots get no write and are
-    # patched densely after.
+    # each node's unique discovery arc (the down arc u->v) writes
+    # parent[v] = u. Non-root nodes get exactly one write with parent id
+    # >= 0, so a max-scatter from a zero init is exact; roots get no
+    # write and are patched densely after.
     u_of = ids // 4
     tgt = jnp.where(down_f, v_of4.reshape(-1), ne)   # shared dump slot
     parent = jnp.full((ne + 1,), 0, jnp.int32).at[tgt].max(
         jnp.where(down_f, u_of, 0))[:ne]
-    depth = jnp.zeros((ne + 1,), jnp.int32).at[tgt].max(
-        jnp.where(down_f, prefix_incl, 0))[:ne]
     node_ids = jnp.arange(ne, dtype=jnp.int32)
     is_root = node_ids % n == 0
     parent = jnp.where(is_root, node_ids, parent)
-    depth = jnp.where(is_root, 0, depth)
+
+    # depth by pointer doubling over the PARENT array — ne rows per
+    # round instead of replaying the 4*ne-row Euler-arc chains (the old
+    # pass 2): carry (hops, anc); after round t, anc_i is the ancestor
+    # at distance min(depth_i, 2^t) and hops_i that distance; the root
+    # row (0, root) is a fixed point. ceil(log2 n) rounds make it exact.
+    n_rounds = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+
+    def depth_body(carry, _):
+        hops, anc = carry
+        t = jnp.concatenate(
+            [hops[:, None],
+             jax.lax.bitcast_convert_type(anc, jnp.float32)[:, None]],
+            axis=1)                                      # (ne, 2)
+        g = t[anc]                                       # ONE row-gather
+        return (hops + g[:, 0],
+                jax.lax.bitcast_convert_type(g[:, 1], jnp.int32)), None
+
+    hops0 = jnp.where(is_root, 0.0, 1.0).astype(jnp.float32)
+    (hops, _), _ = jax.lax.scan(depth_body, (hops0, parent), None,
+                                length=n_rounds)
+    depth = hops.astype(jnp.int32)                       # exact < 2^24
 
     # beyond-budget nodes become isolated roots (BFS-truncation semantics)
     over = depth > max_depth
