@@ -138,31 +138,58 @@ def sample_positives_per_gt(scores: jnp.ndarray,
     B, P = scores.shape
     G = gt_valid.shape[1]
     K = capacity
-    per_gt_k = min(K, P)
 
-    # (B, G, P) masked scores per GT group.
-    grp = gt_inds[:, None, :] == jnp.arange(G)[None, :, None]
-    grp_scores = jnp.where(grp, scores[:, None, :], -jnp.inf)
-    top_vals, top_idx = jax.lax.top_k(grp_scores, per_gt_k)  # (B, G, per_gt_k)
+    # ONE (B, P) sort + rank-within-group cumsum instead of a top_k over
+    # the (B, G, P) grouped-score tensor: lax.top_k lowers to a full sort
+    # of G x the data (4.9 ms/step of the BoxInst b8 bench, profiled);
+    # payloads ride the sort so no gathers are needed. Selection order is
+    # identical (rank-0-per-GT first, then by score); only exact score
+    # TIES can resolve differently (by point index instead of GT slot).
+    onehot = gt_inds[..., None] == jnp.arange(G)[None, None, :]  # (B,P,G)
+    ok = (onehot & gt_valid[:, None, :]).any(-1)
+    s = jnp.where(ok, scores, -jnp.inf).astype(jnp.float32)
+    pid = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
+    gts = jnp.where(ok, gt_inds, 0).astype(jnp.int32)
+    # stable descending sort by score (f32 stable sort is cheap on TPU;
+    # ties keep point-index order, matching top_k's index tie-break)
+    neg_s, pid_s, gt_s = jax.lax.sort((-s, pid, gts), num_keys=1,
+                                      dimension=1, is_stable=True)
+    fin = neg_s < jnp.inf
 
-    num_gts = jnp.maximum(gt_valid.sum(axis=1), 1)          # (B,)
-    inst_per_gt = jnp.maximum(K // num_gts, 1)               # (B,)
-    rank = jnp.arange(per_gt_k)[None, None, :]
-    keep = (rank < inst_per_gt[:, None, None]) & jnp.isfinite(top_vals)
-    keep = keep & gt_valid[:, :, None]
+    # rank of each entry within its GT group = inclusive same-group
+    # count at its sorted position - 1
+    oh_s = (gt_s[..., None] == jnp.arange(G)) & fin[..., None]
+    cum = jnp.cumsum(oh_s.astype(jnp.int32), axis=1)
+    r = jnp.where(oh_s, cum, 0).sum(-1) - 1                   # (B, P)
 
-    # Selection priority: guarantee one slot per GT (its rank-0 candidate)
-    # before filling by score.
-    priority = jnp.where(keep, top_vals, -jnp.inf)
-    priority = priority + jnp.where((rank == 0) & keep, 1e9, 0.0)
+    num_gts = jnp.maximum(gt_valid.sum(axis=1), 1)            # (B,)
+    inst_per_gt = jnp.maximum(K // num_gts, 1)                # (B,)
+    keep = fin & (r >= 0) & (r < inst_per_gt[:, None])
+    rank0 = keep & (r == 0)
 
-    flat_pri = priority.reshape(B, G * per_gt_k)
-    sel_vals, sel_flat = jax.lax.top_k(flat_pri, K)          # (B, K)
-    sel_g = sel_flat // per_gt_k
-    sel_r = sel_flat % per_gt_k
-    point_idx = jnp.take_along_axis(
-        top_idx.reshape(B, G * per_gt_k), sel_flat, axis=1)
-    valid = jnp.isfinite(sel_vals)
+    # output slot: every GT's best candidate first (score order), then
+    # the remaining kept candidates by score — the same order the
+    # +1e9-boosted priority top_k produced
+    c0 = jnp.cumsum(rank0.astype(jnp.int32), axis=1)
+    n0 = c0[:, -1:]
+    c1 = jnp.cumsum((keep & ~rank0).astype(jnp.int32), axis=1)
+    slot = jnp.where(rank0, c0 - 1, n0 + c1 - 1)
+    sel = keep & (slot < K)
+
+    # compact to the first K slots with a second (f32-keyed) sort
+    key2 = jnp.where(sel, slot, P + K).astype(jnp.float32)
+    _, pid2, gt2, flag2 = jax.lax.sort(
+        (key2, pid_s, gt_s, sel.astype(jnp.int32)), num_keys=1,
+        dimension=1, is_stable=True)
+    kc = min(K, P)
+    point_idx = pid2[:, :kc]
+    sample_gt = gt2[:, :kc]
+    valid = flag2[:, :kc] == 1
+    if kc < K:
+        pad = ((0, 0), (0, K - kc))
+        point_idx = jnp.pad(point_idx, pad)
+        sample_gt = jnp.pad(sample_gt, pad)
+        valid = jnp.pad(valid, pad)
     point_idx = jnp.where(valid, point_idx, 0).astype(jnp.int32)
-    sample_gt = jnp.where(valid, sel_g, 0).astype(jnp.int32)
+    sample_gt = jnp.where(valid, sample_gt, 0).astype(jnp.int32)
     return point_idx, sample_gt, valid

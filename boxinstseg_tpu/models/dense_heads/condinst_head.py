@@ -423,18 +423,33 @@ class CondInstMaskHead:
         stride = self.out_stride
         mean = jnp.asarray(img_norm_mean, jnp.float32)
         std = jnp.asarray(img_norm_std, jnp.float32)
-        rows = jnp.arange(H)[None, :, None]
-        cols = jnp.arange(W)[None, None, :]
-        region = ((rows < img_shapes[:, 0][:, None, None]) &
-                  (cols < img_shapes[:, 1][:, None, None]))
-        rgb255 = (images * std + mean) * region[..., None]
-        image_mask = region & (
-            rows < (img_shapes[:, 0] - pixels_removed)[:, None, None])
+        rows = jnp.arange(H)[None, :]
+        cols = jnp.arange(W)[None, :]
+        row_in = (rows < img_shapes[:, 0][:, None]).astype(jnp.float32)
+        col_in = (cols < img_shapes[:, 1][:, None]).astype(jnp.float32)
 
-        down = avg_pool_stride(rgb255, stride)
+        # avg_pool((img*std + mean) * region) without materializing any
+        # full-res 255-scale tensor (the mul + relayout copies cost
+        # ~4 ms/step at b8 canvases, profiled):
+        #   = std * avg_pool(img * region) + mean * avg_pool(region),
+        # and region is an outer product of 1-D bounds, so its pool is
+        # the outer product of two 1-D pools.
+        region = row_in[:, :, None] * col_in[:, None, :]
+        pool_img = avg_pool_stride(
+            images.astype(jnp.float32) * region[..., None], stride)
+        pool_row = row_in.reshape(B, H // stride, stride).mean(-1)
+        pool_col = col_in.reshape(B, W // stride, stride).mean(-1)
+        pool_reg = pool_row[:, :, None] * pool_col[:, None, :]
+        down = pool_img * std + mean * pool_reg[..., None]
+
+        # image_mask = region & (row < h - pixels_removed), subsampled at
+        # the stride grid points -> direct 1-D compares at those points
         start = stride // 2
-        mask_s = image_mask[:, start::stride, start::stride].astype(
-            jnp.float32)
+        rows_s = (start + stride * jnp.arange(H // stride))[None, :]
+        cols_s = (start + stride * jnp.arange(W // stride))[None, :]
+        rm = (rows_s < (img_shapes[:, 0] - pixels_removed)[:, None])
+        cm = cols_s < img_shapes[:, 1][:, None]
+        mask_s = (rm[:, :, None] & cm[:, None, :]).astype(jnp.float32)
         lab = srgb_uint8_to_lab(down)
         sim = image_color_similarity(lab, mask_s, self.pairwise_size,
                                      self.pairwise_dilation)

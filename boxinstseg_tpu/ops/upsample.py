@@ -147,5 +147,9 @@ def avg_pool_stride(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     lead = x.shape[:-3]
     h, w, c = x.shape[-3:]
     assert h % stride == 0 and w % stride == 0, (h, w, stride)
-    x = x.reshape(lead + (h // stride, stride, w // stride, stride, c))
-    return x.mean(axis=(-4, -2))
+    # one axis at a time: the joint (-4, -2) reduce lowers ~14x slower on
+    # TPU at 3-channel image shapes (0.40 vs 0.028 ms on the BoxInst b8
+    # canvas, measured) because both reduced axes fight the tiny lane dim
+    x = x.reshape(lead + (h // stride, stride, w, c)).sum(-3)
+    x = x.reshape(lead + (h // stride, w // stride, stride, c)).sum(-2)
+    return x * (1.0 / (stride * stride))
