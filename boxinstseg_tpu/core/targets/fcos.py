@@ -94,8 +94,6 @@ def fcos_targets(points: jnp.ndarray,
     min_inds = areas.argmin(axis=-1)             # (B, P)
     is_bg = min_area >= INF
 
-    labels = jnp.take_along_axis(gt_labels, min_inds, axis=1)
-    labels = jnp.where(is_bg, num_classes, labels).astype(jnp.int32)
     gt_inds = jnp.where(is_bg, -1, min_inds).astype(jnp.int32)
 
     # one-hot select over the small G axis instead of take_along_axis:
@@ -104,6 +102,8 @@ def fcos_targets(points: jnp.ndarray,
     # VPU pass over tensors that are already live
     sel = (jnp.arange(G)[None, None] == min_inds[..., None])
     pick = lambda t: jnp.where(sel, t, 0.0).sum(axis=-1)
+    labels = jnp.where(sel, gt_labels[:, None, :], 0).sum(axis=-1)
+    labels = jnp.where(is_bg, num_classes, labels).astype(jnp.int32)
     bt = jnp.stack([pick(left), pick(top), pick(right), pick(bottom)],
                    axis=-1)                       # (B, P, 4)
     ctr = jnp.where(is_bg, 0.0, centerness_target(bt))
