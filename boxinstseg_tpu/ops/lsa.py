@@ -32,10 +32,20 @@ def solve_lsa(cost: jnp.ndarray) -> jnp.ndarray:
     n, m = cost.shape
     assert n <= m, (n, m)
     cost = cost.astype(jnp.float32)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    cols = jnp.arange(m, dtype=jnp.int32)
+
+    # Every step of the augmenting-path search touches only (n,)/(m,)/
+    # (n, m) tensors, so ALL indexed reads/writes are expressed as dense
+    # one-hot selects and masked reduces: a scatter or batched dynamic
+    # gather inside the loop body lowers to a sort/serial pipeline under
+    # vmap and costs ~65 us PER ITERATION (profiled 23 ms/step on
+    # Box2Mask's 350 total iterations); the dense forms are single fused
+    # VPU passes over a few thousand elements.
 
     def augment_row(i, carry):
-        # u: (n + 1,) row potentials (slot n is a scatter dump);
-        # v: (m,) column potentials; col2row: (m,) assigned row or -1.
+        # u: (n,) row potentials; v: (m,) column potentials;
+        # col2row: (m,) assigned row or -1.
         u, v, col2row = carry
 
         init = dict(
@@ -57,8 +67,11 @@ def solve_lsa(cost: jnp.ndarray) -> jnp.ndarray:
             i0, last_j = s['i0'], s['last_j']
             minv, way, used = s['minv'], s['way'], s['used']
 
-            # relax every unused column through row i0
-            cur = cost[i0] - u[i0] - v
+            # relax every unused column through row i0 (dense row pick)
+            oh_i0 = rows == i0                                  # (n,)
+            cost_i0 = jnp.where(oh_i0[:, None], cost, 0.0).sum(0)
+            u_i0 = jnp.where(oh_i0, u, 0.0).sum()
+            cur = cost_i0 - u_i0 - v
             upd = (~used) & (cur < minv)
             minv = jnp.where(upd, cur, minv)
             way = jnp.where(upd, last_j, way)
@@ -66,18 +79,19 @@ def solve_lsa(cost: jnp.ndarray) -> jnp.ndarray:
             # tightest unused column
             masked = jnp.where(used, _INF, minv)
             j1 = jnp.argmin(masked).astype(jnp.int32)
-            delta = masked[j1]
+            delta = jnp.min(masked)
 
             # dual update (e-maxx form): rows of used columns and row i
             # gain delta; used columns lose delta; unused slacks shrink.
-            u = u.at[i].add(delta)
-            scatter_rows = jnp.where(used, col2row, n)   # -1 never occurs
-            u = u.at[scatter_rows].add(jnp.where(used, delta, 0.0))
+            owns_used = jnp.any((col2row[None, :] == rows[:, None])
+                                & used[None, :], axis=1)        # (n,)
+            u = u + delta * ((rows == i) | owns_used)
             v = jnp.where(used, v - delta, v)
             minv = jnp.where(used, minv, minv - delta)
 
-            used = used.at[j1].set(True)
-            owner = col2row[j1]
+            oh_j1 = cols == j1
+            used = used | oh_j1
+            owner = jnp.where(oh_j1, col2row, 0).sum()   # col2row[j1]
             done = owner < 0
             return dict(
                 u=u, v=v,
@@ -98,25 +112,23 @@ def solve_lsa(cost: jnp.ndarray) -> jnp.ndarray:
 
         def back_body(s):
             j0, col2row = s
-            jprev = way[j0]
-            row = jnp.where(jprev < 0, i, col2row[jprev])
-            return jprev, col2row.at[j0].set(row)
+            oh_j0 = cols == j0
+            jprev = jnp.where(oh_j0, way, 0).sum()       # way[j0]
+            prev_owner = jnp.where(cols == jprev, col2row, 0).sum()
+            row = jnp.where(jprev < 0, i, prev_owner)
+            return jprev, jnp.where(oh_j0, row, col2row)
 
         _, col2row = jax.lax.while_loop(back_cond, back_body,
                                         (j_free, col2row))
         return u, v, col2row
 
-    u0 = jnp.zeros((n + 1,), jnp.float32)
+    u0 = jnp.zeros((n,), jnp.float32)
     v0 = jnp.zeros((m,), jnp.float32)
     c0 = jnp.full((m,), -1, jnp.int32)
     _, _, col2row = jax.lax.fori_loop(0, n, augment_row, (u0, v0, c0))
 
-    # invert: col4row[i] = j where col2row[j] = i
-    col4row = jnp.zeros((n,), jnp.int32).at[
-        jnp.where(col2row >= 0, col2row, n - 1)
-    ].max(jnp.where(col2row >= 0, jnp.arange(m, dtype=jnp.int32), 0),
-          mode='drop')
-    # the scatter above collides only on the n-1 dump slot when col2row has
-    # -1 entries; with n <= m and finite costs every row is assigned, so
-    # each valid i receives exactly one j.
+    # invert: col4row[i] = j where col2row[j] = i (each valid row is
+    # assigned exactly one column, so the masked sum picks it out)
+    col4row = jnp.where(col2row[None, :] == rows[:, None],
+                        cols[None, :], 0).sum(axis=1).astype(jnp.int32)
     return col4row
