@@ -212,3 +212,76 @@ def _bwd(color_thresh, kernel_size, dilation, interpret, res, g):
 
 
 boxinst_pairwise_loss_pallas.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------- CRF
+
+
+def _crf_block_kernel(kern_ref, thresh_ref, bin_ref, tgt_ref, out_ref,
+                      *, offsets, num_iter):
+    """All ``num_iter`` mean-field rounds for one (K_tile, H, W) instance
+    block, state resident in VMEM. The XLA formulation re-reads the
+    padded state once per offset — ~840 MB of HBM traffic per round at
+    DiscoBox bench shapes (1.2 ms/round); here the state never leaves
+    VMEM, so the whole fixed point costs one read + one write of each
+    operand (profiled 12.2 -> 2.3 ms for the 10-round loop)."""
+    h, w = bin_ref.shape[-2], bin_ref.shape[-1]
+    kern = kern_ref[0]                        # (9, H, W) f32
+    thresh = thresh_ref[0]                    # (1, H, W)  0.5 * kv
+    tgt = tgt_ref[0] > 0                      # (kt, H, W)
+
+    def one_round(_, st):
+        p = jnp.pad(st, ((0, 0), (1, 1), (1, 1)))
+        s = jnp.zeros_like(st)
+        for o, (dy, dx) in enumerate(offsets):
+            s = s + p[:, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w] \
+                * kern[o][None]
+        keep = (s > thresh) & tgt
+        return keep.astype(st.dtype)
+
+    out_ref[0] = jax.lax.fori_loop(0, num_iter, one_round, bin_ref[0])
+
+
+def crf_mean_field_pallas(kernel: jnp.ndarray, thresh: jnp.ndarray,
+                          bin0: jnp.ndarray, targets: jnp.ndarray,
+                          offsets, num_iter: int, k_tile: int = 4,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Binary mean-field fixed point (DiscoBox pseudo-label CRF, no-iiu
+    branch; reference: MeanField.forward, discobox_head.py:585-651 with
+    the exp/compare update reduced to ``targets & (s > kv/2)``).
+
+    kernel: (B, O, H, W) f32; thresh: (B, H, W) = 0.5 * masked kernel
+    sum; bin0/targets: (B, K, H, W) f32 binary. Returns (B, K, H, W)."""
+    from jax.experimental import pallas as pl
+
+    b, k, h, w = bin0.shape
+    pad_k = (-k) % k_tile
+    if pad_k:
+        bin0 = jnp.pad(bin0, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+    kp = k + pad_k
+    grid = (b, kp // k_tile)
+    kern = functools.partial(_crf_block_kernel, offsets=tuple(offsets),
+                             num_iter=num_iter)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, len(offsets), h, w), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, h, w), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k_tile, h, w), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, k_tile, h, w), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k_tile, h, w), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, kp, h, w), bin0.dtype),
+        compiler_params=None if interpret else _crf_compiler_params(),
+        interpret=interpret,
+    )(kernel.astype(jnp.float32), thresh[:, None], bin0, targets)
+    return out[:, :k]
+
+
+def _crf_compiler_params():
+    # the unrolled 9-offset body keeps several (k_tile, H, W) temporaries
+    # live; the 16 MB default scoped-vmem limit rejects bench shapes
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)

@@ -188,3 +188,35 @@ def test_corr_loss_and_bank_threading():
     # second step: retrieval may now fire; still finite
     state, logs = step(state, batch)
     assert np.isfinite(float(logs['loss']))
+
+
+def test_crf_pallas_kernel_matches_xla():
+    """The VMEM-resident CRF kernel (interpret mode) reproduces the XLA
+    compare-loop exactly (same fixed point as the reference exp update,
+    see test_golden_meanfield_crf)."""
+    from boxinstseg_tpu.models.dense_heads.discobox_head import MeanFieldCRF
+    from boxinstseg_tpu.ops.pallas_kernels import crf_mean_field_pallas
+    rng = np.random.RandomState(1)
+    b, k, h, w = 2, 5, 16, 24
+    img = rng.rand(b, h, w, 3).astype(np.float32)
+    crf = MeanFieldCRF(num_iter=4)
+    kernel = crf.build_kernel(jnp.asarray(img))
+    x = (rng.rand(b, k, h, w) > 0.5).astype(np.float32)
+    targets = np.zeros((b, k, h, w), np.float32)
+    targets[:, :, 3:14, 4:20] = 1.0
+
+    want = np.asarray(crf(kernel, jnp.asarray(x), jnp.asarray(targets)))
+
+    # rebuild kv exactly as __call__ does
+    kv = 0.0
+    for o, (dy, dx) in enumerate(crf.offsets):
+        m = np.zeros((h, w), np.float32)
+        ys = slice(max(dy, 0), h + min(dy, 0))
+        xs = slice(max(dx, 0), w + min(dx, 0))
+        m[ys, xs] = 1.0
+        kv = kv + np.asarray(kernel)[:, o] * m
+    bin0 = (jnp.asarray(x) * targets > 0.5).astype(jnp.float32)
+    got = np.asarray(crf_mean_field_pallas(
+        kernel, jnp.asarray(0.5 * kv), bin0, jnp.asarray(targets),
+        crf.offsets, crf.num_iter, k_tile=2, interpret=True))
+    np.testing.assert_array_equal(got, want)
