@@ -94,20 +94,16 @@ class COCOEvaluator:
 
         g_ignore_base = np.array(
             [bool(g.get('iscrowd', 0)) or bool(g.get('ignore', 0))
-             for g in gt])
+             for g in gt], bool)
         g_areas = np.array([g.get('area', g['bbox'][2] * g['bbox'][3])
                             for g in gt], np.float64)
-        # sort gts: non-ignored first (pycocotools order)
-        g_order = np.argsort(g_ignore_base, kind='mergesort')
-        gt_sorted = [gt[i] for i in g_order]
-        g_ignore_base = g_ignore_base[g_order]
-        g_areas = g_areas[g_order]
-        iscrowd = np.array([bool(g.get('iscrowd', 0)) for g in gt_sorted])
-
-        ious = self._iou({'bboxes': dt_sorted['bboxes'],
-                          'masks': dt_sorted['masks']},
-                         gt_sorted, img_info) if gt_sorted else \
-            np.zeros((nd, 0))
+        iscrowd_base = np.array([bool(g.get('iscrowd', 0)) for g in gt],
+                                bool)
+        # ious computed once in annotation order; columns permuted per
+        # area range below (pycocotools computeIoU/evaluateImg split)
+        ious_base = self._iou({'bboxes': dt_sorted['bboxes'],
+                               'masks': dt_sorted['masks']},
+                              gt, img_info) if gt else np.zeros((nd, 0))
 
         if self.iou_type == 'bbox':
             d_areas = (dt_sorted['bboxes'][:, 2] *
@@ -121,8 +117,16 @@ class COCOEvaluator:
         out = {}
         T = len(self.iou_thrs)
         for aname, (amin, amax) in AREA_RNG.items():
-            g_ignore = g_ignore_base | (g_areas < amin) | (g_areas > amax)
-            ng = len(gt_sorted)
+            # fold the area-range filter into the ignore flag, then sort
+            # gts ignore-last PER AREA RANGE (stable) — matching order and
+            # the break condition below depend on this order
+            # (pycocotools evaluateImg sorts by '_ignore' per call)
+            g_ig_all = g_ignore_base | (g_areas < amin) | (g_areas > amax)
+            g_order = np.argsort(g_ig_all, kind='mergesort')
+            g_ignore = g_ig_all[g_order]
+            iscrowd = iscrowd_base[g_order]
+            ious = ious_base[:, g_order] if ious_base.size else ious_base
+            ng = len(gt)
             dt_m = np.zeros((T, nd), np.int64) - 1   # matched gt index
             dt_ig = np.zeros((T, nd), bool)
             gt_m = np.zeros((T, ng), np.int64) - 1
