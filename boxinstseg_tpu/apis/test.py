@@ -9,6 +9,7 @@ apis/test.py:64-66).
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -96,10 +97,50 @@ def format_detection(out: Dict, i: int, img_shape, ori_shape,
         labels=labels.astype(np.int64), masks=masks)
 
 
+def collect_results_cpu(result_part: List, part_indices: List[int],
+                        size: int, tmpdir: str) -> Optional[List]:
+    """Cross-process eval result collection (reference multi_gpu_test ->
+    collect_results_cpu, mmdet/apis/test.py:81-178): every process
+    pickles its (indices, results) part into a shared tmpdir, a global
+    device barrier replaces dist.barrier(), and process 0 merges by
+    dataset index. Returns the merged list on process 0, None elsewhere.
+    """
+    import pickle
+    import shutil
+
+    import jax
+    from jax.experimental import multihost_utils
+
+    os.makedirs(tmpdir, exist_ok=True)
+    part_file = os.path.join(tmpdir, f'part_{jax.process_index()}.pkl')
+    with open(part_file, 'wb') as f:
+        pickle.dump((part_indices, result_part), f)
+    multihost_utils.sync_global_devices('boxinstseg_eval_parts_written')
+    merged = None
+    if jax.process_index() == 0:
+        merged = [None] * size
+        for p in range(jax.process_count()):
+            with open(os.path.join(tmpdir, f'part_{p}.pkl'), 'rb') as f:
+                inds, part = pickle.load(f)
+            for i, r in zip(inds, part):
+                merged[i] = r
+        missing = [i for i, r in enumerate(merged) if r is None]
+        assert not missing, f'eval gather missing indices {missing[:8]}'
+    # all parts read before anyone may delete / exit
+    multihost_utils.sync_global_devices('boxinstseg_eval_parts_read')
+    if jax.process_index() == 0:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return merged
+
+
 def run_evaluation(model, variables, dataset, cfg,
                    metrics=('bbox', 'segm'), max_images: Optional[int] = None,
                    batch_size: Optional[int] = None,
                    save_results: Optional[str] = None) -> Dict[str, float]:
+    """Evaluate ``dataset``; under multi-process JAX the dataset is
+    sharded across processes and results are gathered to process 0
+    (reference: single_gpu_test/multi_gpu_test). Returns the metric dict
+    on process 0 and {} on other processes."""
     import jax
     import jax.numpy as jnp
 
@@ -115,7 +156,20 @@ def run_evaluation(model, variables, dataset, cfg,
         if hasattr(cfg, 'get') else [(800, 1344), (1344, 800)],
         max_gts=1,  # annotations unused at test time
         bottom_pixels_removed=mask_head_cfg.get('bottom_pixels_removed', 10))
-    loader = EvalLoader(dataset, b, batcher)
+    rank, nproc = jax.process_index(), jax.process_count()
+    n_total = len(dataset) if max_images is None \
+        else min(max_images, len(dataset))
+    # rank r evaluates every nproc-th image (reference per-rank shard).
+    # Shards are padded to EQUAL length: the jitted predict over the
+    # globally-replicated variables is a lockstep multi-process program,
+    # so every process must run the same number of batches; duplicate
+    # indices just overwrite identical entries at gather time.
+    my_indices = list(range(rank, n_total, nproc))
+    per = (n_total + nproc - 1) // nproc
+    while len(my_indices) < per:
+        my_indices.append(my_indices[-1] if my_indices
+                          else rank % max(n_total, 1))
+    loader = EvalLoader(dataset, b, batcher, indices=my_indices)
 
     @jax.jit
     def predict(variables, batch):
@@ -137,9 +191,20 @@ def run_evaluation(model, variables, dataset, cfg,
                 masks=[rle_encode(m) for m in det['masks']]))
         n_done += real
         if n_done % (20 * b) < b:
-            logger.info(f'eval: {n_done}/{len(dataset)}')
-        if max_images is not None and n_done >= max_images:
-            break
+            logger.info(f'eval: {n_done}/{len(my_indices)} (proc {rank})')
+
+    if nproc > 1:
+        # like the reference's collect_results_cpu tmpdir, this path must
+        # be VISIBLE TO ALL PROCESSES (shared filesystem); override with
+        # cfg.eval_tmpdir when work_dir is per-process
+        default = os.path.join(cfg.get('work_dir', '.')
+                               if hasattr(cfg, 'get') else '.',
+                               '.eval_gather')
+        tmpdir = (cfg.get('eval_tmpdir') if hasattr(cfg, 'get')
+                  else None) or default
+        results = collect_results_cpu(results, my_indices, n_total, tmpdir)
+        if rank != 0:
+            return {}
     if save_results:
         import json
         with open(save_results, 'w') as f:

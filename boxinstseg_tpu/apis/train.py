@@ -169,7 +169,27 @@ def train_detector(model, dataset, cfg: Config,
                          params_example=variables['params'])
     use_ts = cfg.model.get('type') in ('DiscoBoxSOLOv2',
                                        'SingleStageWSInsTSDetector')
-    state = create_train_state(model, variables, tx, ema=use_ts)
+    # cross-image correspondence object bank (reference ObjectQueues,
+    # discobox_head.py:132-227 + :729-744): a device-resident per-class
+    # ring buffer carried in the train state and appended inside the
+    # jitted TS step
+    corr_state = None
+    if use_ts:
+        head_cfg = dict(cfg.model.get('bbox_head', {}) or {})
+        lc = head_cfg.get('loss_corr')
+        if lc:
+            from ..ops.correspondence import create_object_bank
+            ob = dict(lc.get('obj_bank', {}))
+            corr_state = create_object_bank(
+                int(head_cfg['num_classes']),
+                int(ob.get('len_object_queues', 100)),
+                (int(ob.get('feat_height', 7)),
+                 int(ob.get('feat_width', 7))),
+                (int(ob.get('mask_height', 28)),
+                 int(ob.get('mask_width', 28))),
+                int(cfg.model.get('neck', {}).get('out_channels', 256)))
+    state = create_train_state(model, variables, tx, ema=use_ts,
+                               corr_state=corr_state)
 
     work_dir = cfg.get('work_dir', './work_dir')
     ckpt_dir = os.path.join(work_dir, 'checkpoints')
@@ -185,22 +205,27 @@ def train_detector(model, dataset, cfg: Config,
             model, tx, mesh=mesh,
             momentum=ts_cfg.get('momentum', 0.999),
             start_iter=ts_cfg.get('start_iter', 13000),
-            ts_thresh=ts_cfg.get('ts_thresh', 0.3))
+            ts_thresh=ts_cfg.get('ts_thresh', 0.3),
+            corr_thresh=ts_cfg.get('corr_thresh', 0.2))
     else:
         step_fn = make_train_step(model, tx, mesh=mesh)
     repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     state = jax.device_put(state, repl)
 
-    # logging/eval hooks run on process 0 only (reference rank-0 gating);
+    # logging hooks run on process 0 only (reference rank-0 gating);
     # checkpointing must run on EVERY process — orbax coordinates saves
-    # with a cross-process barrier, so a rank-gated save would deadlock
+    # with a cross-process barrier, so a rank-gated save would deadlock —
+    # and so must EvalHook: run_evaluation shards the val set across
+    # processes and gathers through a global barrier (reference
+    # DistEvalHook + multi_gpu_test)
     hooks = build_hooks(model, cfg, iv, ckpt_dir, logger=logger,
                         global_batch=global_batch, lr_fn=sched,
                         validate=validate, val_dataset=val_dataset,
                         classes=getattr(dataset, 'CLASSES', None))
     if proc_id != 0:
-        from ..engine.hooks import CheckpointHook
-        hooks = [h for h in hooks if isinstance(h, CheckpointHook)]
+        from ..engine.hooks import CheckpointHook, EvalHook
+        hooks = [h for h in hooks
+                 if isinstance(h, (CheckpointHook, EvalHook))]
 
     start = int(state.step)
     it = iter(loader)

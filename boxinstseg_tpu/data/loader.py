@@ -83,21 +83,27 @@ class TrainLoader:
 
 class EvalLoader:
     def __init__(self, dataset, batch_size: int, batcher: StaticBatcher,
-                 num_workers: int = 8):
+                 num_workers: int = 8, indices=None):
+        """``indices``: optional dataset-index subset (multi-process eval
+        shards the dataset across processes, reference multi_gpu_test's
+        per-rank DistributedSampler slice, apis/test.py:81-130)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.batcher = batcher
+        self.indices = list(range(len(dataset))) if indices is None \
+            else list(indices)
         # workers_per_gpu=0 means "load in-process" in the reference;
         # threads are cheap here, so it just becomes one worker thread
         self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
 
     def __len__(self):
-        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+        return (len(self.indices) + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
         """Yields (batch, real_count, sample_metas)."""
-        sampler = SequentialBatchSampler(len(self.dataset), self.batch_size)
-        for idx, real in sampler:
+        sampler = SequentialBatchSampler(len(self.indices), self.batch_size)
+        for pos, real in sampler:
+            idx = [self.indices[p] for p in pos]
             futs = [self.pool.submit(self.dataset.prepare, i) for i in idx]
             samples = [f.result() for f in futs]
             metas = [dict(img_shape=s['img_shape'],

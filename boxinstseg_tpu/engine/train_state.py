@@ -141,6 +141,7 @@ def make_ts_train_step(model, tx: optax.GradientTransformation,
                        momentum: float = 0.999,
                        start_iter: int = 13000,
                        ts_thresh: float = 0.3,
+                       corr_thresh: float = 0.2,
                        use_teacher: bool = True,
                        donate: bool = True) -> Callable:
     """Teacher-student train step (DiscoBox).
@@ -178,7 +179,7 @@ def make_ts_train_step(model, tx: optax.GradientTransformation,
         gates = dict(
             teacher=turn_on.astype(jnp.float32),
             ts=(state.avg_loss_ins < ts_thresh).astype(jnp.float32),
-            corr=(state.avg_loss_ins < 0.2).astype(jnp.float32),
+            corr=(state.avg_loss_ins < corr_thresh).astype(jnp.float32),
         )
         teacher_out = model.apply(state.teacher_variables(),
                                   batch['image'],

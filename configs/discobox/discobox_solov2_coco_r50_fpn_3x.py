@@ -38,6 +38,38 @@ model = dict(
             crf_height=28, crf_width=28),
         loss_cate=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
                        alpha=0.25, loss_weight=1.0),
+        # cross-image semantic correspondence (reference
+        # configs/discobox/discobox_solov2_coco_r50_fpn_3x.py:65-93);
+        # train_detector builds the device-resident ObjectBank from
+        # obj_bank and threads it through the TS train step
+        loss_corr=dict(
+            type='InfoNCE',
+            loss_weight=1.0,
+            corr_exp=1.0,
+            corr_eps=0.05,
+            gaussian_filter_size=3,
+            low_score=0.3,
+            corr_num_iter=10,
+            corr_num_smooth_iter=1,
+            save_corr_img=False,
+            dist_kernel=9,
+            obj_bank=dict(
+                img_norm_cfg=img_norm_cfg,
+                len_object_queues=100,
+                fg_iou_thresh=0.7,
+                bg_iou_thresh=0.7,
+                ratio_range=[0.9, 1.2],
+                appear_thresh=0.7,
+                min_retrieval_objs=2,
+                max_retrieval_objs=5,
+                feat_height=7,
+                feat_width=7,
+                mask_height=28,
+                mask_width=28,
+                img_height=200,
+                img_width=200,
+                min_size=32,
+                num_gpu_bank=20)),
         max_pos=128),
     mask_feat_head=dict(
         type='DiscoBoxMaskFeatHead', in_channels=256, out_channels=128,

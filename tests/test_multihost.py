@@ -1,9 +1,11 @@
 """Multi-host data parallelism: 2 real processes on CPU, each with 2
 virtual devices, one global Mesh('data') — exercises
-jax.distributed.initialize, the process-sharded TrainLoader slice, and
-shard_batch's make_array_from_process_local_data path end-to-end through
-tools/train.py (reference capability: tools/dist_train.sh multi-process
-DDP)."""
+jax.distributed.initialize, the process-sharded TrainLoader slice,
+shard_batch's make_array_from_process_local_data path, AND distributed
+evaluation: the in-loop EvalHook plus run_evaluation's per-process
+dataset shard + cross-process result gather (reference capability:
+tools/dist_train.sh multi-process DDP + DistEvalHook/multi_gpu_test's
+collect_results_cpu, mmdet/apis/test.py:81-178)."""
 import json
 import os
 import socket
@@ -53,6 +55,16 @@ pipeline = [
     dict(type='Pad', size_divisor=32),
     dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
 ]
+test_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='MultiScaleFlipAug', img_scale=(%(W)d, %(H)d), flip=False,
+         transforms=[
+             dict(type='Resize', keep_ratio=True),
+             dict(type='RandomFlip'),
+             dict(type='Normalize', **img_norm),
+             dict(type='Pad', size_divisor=32),
+             dict(type='Collect', keys=['img']),
+         ])]
 classes = tuple(f'cls{c}' for c in range(%(NC)d))
 cfg = Config.fromdict(dict(
     model=tiny_boxinst_cfg(),
@@ -60,7 +72,15 @@ cfg = Config.fromdict(dict(
               train=dict(type='CocoDataset',
                          ann_file=os.environ['DATA_ROOT'] + '/ann.json',
                          img_prefix=os.environ['DATA_ROOT'] + '/images',
-                         pipeline=pipeline, classes=classes)),
+                         pipeline=pipeline, classes=classes),
+              test=dict(type='CocoDataset',
+                        ann_file=os.environ['DATA_ROOT'] + '/ann.json',
+                        img_prefix=os.environ['DATA_ROOT'] + '/images',
+                        pipeline=test_pipeline, classes=classes)),
+    evaluation=dict(interval=2, metric=['bbox']),
+    # the gather tmpdir must be shared across processes; WORK_DIR here is
+    # per-process, so point it at the shared dataset root
+    eval_tmpdir=os.environ['DATA_ROOT'] + '/.eval_gather',
     optimizer=dict(type='SGD', lr=0.002, momentum=0.9, weight_decay=1e-4),
     lr_config=dict(policy='step', step=[100], warmup=None),
     runner=dict(type='IterBasedRunner', max_iters=2),
@@ -72,10 +92,22 @@ cfg = Config.fromdict(dict(
 ))
 model = build_detector(cfg.model.copy())
 dataset = build_dataset(cfg.data['train'])
-state = train_detector(model, dataset, cfg)
+test_ds = build_dataset({**cfg.data['test'], 'test_mode': True})
+# in-loop distributed EvalHook fires at iter 2 on BOTH processes
+# (sharded val set + gather barrier inside run_evaluation)
+state = train_detector(model, dataset, cfg, validate=True,
+                       val_dataset=test_ds)
+
+# standalone distributed evaluation: every process evaluates its shard,
+# process 0 gathers and scores, others get {}
+from boxinstseg_tpu.apis.test import run_evaluation
+metrics = run_evaluation(model, state.variables(), test_ds, cfg,
+                         metrics=['bbox'], batch_size=1)
 print(json.dumps({'proc': jax.process_index(),
                   'step': int(state.step),
-                  'devices': jax.device_count()}))
+                  'devices': jax.device_count(),
+                  'eval_keys': sorted(metrics.keys()),
+                  'eval_finite': all(m == m for m in metrics.values())}))
 '''
 
 
@@ -104,3 +136,9 @@ def test_two_process_data_parallel_training(tmp_path):
                for out, _ in outs]
     assert {r['proc'] for r in results} == {0, 1}
     assert all(r['step'] == 2 and r['devices'] == 4 for r in results)
+    by_proc = {r['proc']: r for r in results}
+    # distributed eval: process 0 holds the gathered metrics, process 1
+    # returns {} (reference multi_gpu_test returns results on rank 0)
+    assert 'bbox_mAP' in by_proc[0]['eval_keys'], by_proc[0]
+    assert by_proc[0]['eval_finite']
+    assert by_proc[1]['eval_keys'] == []
