@@ -1,13 +1,18 @@
-"""Benchmark: BoxInst R-50-FPN 1x training throughput (images/sec/chip).
+"""Benchmark: training throughput (images/sec/chip) for the shipped
+recipes, one family per invocation.
 
-Runs the full jitted train step (backbone+FPN+heads+BoxInst losses+SGD)
-on synthetic 800x1344 canvases with the reference config's shapes
-(reference recipe: configs/boxinst/boxinst_r50_fpn_1x_coco.py, 2 img/GPU
-on 8xA100). Prints ONE JSON line.
+Default (what the driver runs): BoxInst R-50-FPN 1x — the full jitted
+train step (backbone+FPN+heads+BoxInst losses+SGD) on synthetic 800x1344
+canvases with the reference config's shapes (reference recipe:
+configs/boxinst/boxinst_r50_fpn_1x_coco.py, 2 img/GPU on 8xA100).
+Prints ONE JSON line.
 
-Defaults: batch 8 per chip, bf16 mixed precision (activations bf16,
-params/losses f32 — the TPU dual of the reference's Fp16OptimizerHook).
-Override with BENCH_BATCH / BENCH_BF16=0 env vars.
+BENCH_MODEL selects the family — each is built FROM ITS SHIPPED CONFIG
+(so e.g. DiscoBox runs the full TS step with EMA teacher, CRF, and the
+correspondence bank the production recipe now carries):
+  boxinst (default) 800x1344 b8 | discobox 800x1344 b2 (TS+corr bank)
+  | boxlevelset 800x1344 b4 | box2mask 1024x1024 b1 LSJ.
+Override batch with BENCH_BATCH, precision with BENCH_BF16=0.
 
 vs_baseline: the reference publishes no throughput; BASELINE.md sets the
 target at >=2x images/sec/chip vs the 8-GPU A100 run. A100 mmdet-style
@@ -19,6 +24,25 @@ import os
 import time
 
 import numpy as np
+
+FAMILIES = {
+    'boxinst': dict(
+        cfg='configs/boxinst/boxinst_r50_fpn_1x_coco.py',
+        batch=8, hw=(800, 1344), masks=False, ts=False,
+        metric='boxinst_r50_1x_train_images_per_sec_per_chip'),
+    'discobox': dict(
+        cfg='configs/discobox/discobox_solov2_coco_r50_fpn_3x.py',
+        batch=2, hw=(800, 1344), masks=True, ts=True,
+        metric='discobox_r50_3x_train_images_per_sec_per_chip'),
+    'boxlevelset': dict(
+        cfg='configs/boxlevelset/box_levelset_coco_r50_fpn_3x.py',
+        batch=4, hw=(800, 1344), masks=True, ts=False,
+        metric='boxlevelset_r50_3x_train_images_per_sec_per_chip'),
+    'box2mask': dict(
+        cfg='configs/box2mask/box2mask_r50_lsj_8x2_50e_coco.py',
+        batch=1, hw=(1024, 1024), masks=True, ts=False,
+        metric='box2mask_r50_50e_train_images_per_sec_per_chip'),
+}
 
 
 def _step_flops(step, state, batch):
@@ -37,29 +61,65 @@ def main():
     import jax
     import jax.numpy as jnp
     import boxinstseg_tpu  # noqa: F401
+    from boxinstseg_tpu.config import Config
     from boxinstseg_tpu.registry import build_detector
     from boxinstseg_tpu.engine import (build_optimizer, create_train_state,
                                        init_variables, make_train_step,
+                                       make_ts_train_step,
                                        step_lr_schedule)
     from boxinstseg_tpu.models.layers import set_compute_dtype
-    from __graft_entry__ import _boxinst_cfg, _synth_batch
+    from __graft_entry__ import _synth_batch
 
-    batch_size = int(os.environ.get('BENCH_BATCH', 8))
+    family = os.environ.get('BENCH_MODEL', 'boxinst')
+    fam = FAMILIES[family]
+    batch_size = int(os.environ.get('BENCH_BATCH', fam['batch']))
     use_bf16 = os.environ.get('BENCH_BF16', '1') != '0'
     if use_bf16:
         set_compute_dtype(jnp.bfloat16)
-    h, w = 800, 1344
+    h, w = fam['hw']
 
-    model = build_detector(_boxinst_cfg())
-    batch = _synth_batch(batch_size, h, w, max_gt=32)
-    variables = init_variables(model, {'params': jax.random.PRNGKey(0)},
-                               batch, jnp.zeros((), jnp.int32),
-                               method=model.loss)
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = Config.fromfile(os.path.join(here, fam['cfg']))
+    model = build_detector(dict(cfg.model))
+    # pad GTs exactly like the production batcher (max_gts slots) — the
+    # matching/sampling cost depends on the PADDED capacity, not the
+    # number of live instances
+    max_gts = int(cfg.get('max_gts', 100)) if hasattr(cfg, 'get') else 100
+    batch = _synth_batch(batch_size, h, w, max_gt=max_gts,
+                         with_masks=fam['masks'],
+                         live=int(os.environ.get('BENCH_LIVE_GTS', 16)))
     sched = step_lr_schedule(0.005, 'linear', 500, 0.001, (60000, 80000))
     tx = build_optimizer(dict(type='SGD', lr=0.005, momentum=0.9,
                               weight_decay=1e-4), sched)
-    state = create_train_state(model, variables, tx)
-    step = make_train_step(model, tx, mesh=None, donate=True)
+
+    if fam['ts']:
+        from boxinstseg_tpu.ops.correspondence import create_object_bank
+        head = dict(cfg.model['bbox_head'])
+        lc = dict(head.get('loss_corr') or {})
+        ob = dict(lc.get('obj_bank', {}))
+        bank = create_object_bank(
+            int(head['num_classes']),
+            int(ob.get('len_object_queues', 100)),
+            (int(ob.get('feat_height', 7)), int(ob.get('feat_width', 7))),
+            (int(ob.get('mask_height', 28)), int(ob.get('mask_width', 28))),
+            int(cfg.model['neck']['out_channels'])) if lc else None
+        variables = init_variables(
+            model, {'params': jax.random.PRNGKey(0)}, batch,
+            jnp.zeros((), jnp.int32), None, None, bank, method=model.loss)
+        state = create_train_state(model, variables, tx, ema=True,
+                                   corr_state=bank)
+        ts_cfg = dict(cfg.get('ts_cfg', {}))
+        step = make_ts_train_step(
+            model, tx, mesh=None, donate=True,
+            momentum=ts_cfg.get('momentum', 0.999),
+            start_iter=0,           # teacher + gates live in steady state
+            ts_thresh=1e9, corr_thresh=1e9)
+    else:
+        variables = init_variables(model, {'params': jax.random.PRNGKey(0)},
+                                   batch, jnp.zeros((), jnp.int32),
+                                   method=model.loss)
+        state = create_train_state(model, variables, tx)
+        step = make_train_step(model, tx, mesh=None, donate=True)
 
     # warmup/compile.  A host fetch (not block_until_ready) bounds the
     # timed region: some remote-tunnel runtimes acknowledge enqueue
@@ -87,7 +147,7 @@ def main():
     mfu = (flops * iters / dt) / peak if flops else 0.0
 
     print(json.dumps({
-        'metric': 'boxinst_r50_1x_train_images_per_sec_per_chip',
+        'metric': fam['metric'],
         'value': round(img_per_sec, 3),
         'unit': 'images/sec/chip',
         'vs_baseline': round(img_per_sec / baseline, 3),

@@ -61,8 +61,18 @@ def hungarian_match(cost: jnp.ndarray, gt_valid: jnp.ndarray
     """
     b, q, g = cost.shape
     assert g <= q, (g, q)
-    # rows = GTs, cols = queries (rows all get assigned)
+    # rows = GTs, cols = queries (rows all get assigned). Rows are sorted
+    # valid-first so the solver only augments the LIVE GT count — the
+    # augmenting loop is the entire JV cost and capacity (100 padded
+    # slots) would otherwise dominate the typical ~7-instance image.
+    order = jnp.argsort(~gt_valid, axis=1, stable=True)      # (B, G)
+    valid_sorted = jnp.take_along_axis(gt_valid, order, axis=1)
+    cost_t = jnp.take_along_axis(
+        jnp.swapaxes(cost, 1, 2), order[:, :, None], axis=1)
     cost_t = jax.lax.stop_gradient(
-        jnp.where(gt_valid[:, :, None], jnp.swapaxes(cost, 1, 2), 0.0))
-    assigned = jax.vmap(solve_lsa)(cost_t)                   # (B, G)
+        jnp.where(valid_sorted[:, :, None], cost_t, 0.0))
+    n_valid = gt_valid.sum(axis=1).astype(jnp.int32)
+    assigned_sorted = jax.vmap(solve_lsa)(cost_t, n_valid)   # (B, G)
+    inv = jnp.argsort(order, axis=1)                         # unsort
+    assigned = jnp.take_along_axis(assigned_sorted, inv, axis=1)
     return jnp.where(gt_valid, assigned, 0).astype(jnp.int32), gt_valid

@@ -64,7 +64,11 @@ class Box2MaskHead(nn.Module):
     test_cfg: Optional[dict] = None
     init_cfg: Optional[dict] = None
     # TPU-specific static knobs
-    max_matched: int = 32          # matched-GT capacity per image
+    # matched-GT capacity per image; >= max_gts so every padded GT can be
+    # matched, like the reference's full Hungarian solve over all GTs
+    # (reference mask_hungarian_assigner.py:113-123; COCO crowded images
+    # reach ~93 instances)
+    max_matched: int = 100
     tf_size: Tuple[int, int] = (96, 96)
     tf_max_depth: int = 512
 

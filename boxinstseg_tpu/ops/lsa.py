@@ -21,11 +21,17 @@ import jax.numpy as jnp
 _INF = 1e30
 
 
-def solve_lsa(cost: jnp.ndarray) -> jnp.ndarray:
+def solve_lsa(cost: jnp.ndarray, n_rows=None) -> jnp.ndarray:
     """Minimize ``sum_i cost[i, col4row[i]]`` over distinct columns.
 
     Args:
       cost: (n, m) finite float costs with n <= m (every row is assigned).
+      n_rows: optional (traced) count — only rows [0, n_rows) are
+        augmented; entries of the result beyond it are meaningless. The
+        augmenting loop is the whole solver cost, so padded fixed-
+        capacity problems (COCO pads to 100 GT slots but images average
+        ~7 instances) should pass the live count instead of paying the
+        full-capacity latency.
     Returns:
       col4row: (n,) int32 — column assigned to each row.
     """
@@ -125,7 +131,9 @@ def solve_lsa(cost: jnp.ndarray) -> jnp.ndarray:
     u0 = jnp.zeros((n,), jnp.float32)
     v0 = jnp.zeros((m,), jnp.float32)
     c0 = jnp.full((m,), -1, jnp.int32)
-    _, _, col2row = jax.lax.fori_loop(0, n, augment_row, (u0, v0, c0))
+    upper = n if n_rows is None else jnp.minimum(
+        jnp.asarray(n_rows, jnp.int32), n)
+    _, _, col2row = jax.lax.fori_loop(0, upper, augment_row, (u0, v0, c0))
 
     # invert: col4row[i] = j where col2row[j] = i (each valid row is
     # assigned exactly one column, so the masked sum picks it out)

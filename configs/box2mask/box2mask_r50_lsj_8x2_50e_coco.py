@@ -50,7 +50,7 @@ model = dict(
             class_weight=[1.0] * num_classes + [0.1]),
         loss_mask=dict(type='LevelsetLoss', loss_weight=1.0),
         loss_box=dict(type='BoxProjectionLoss', loss_weight=5.0),
-        max_matched=32,
+        max_matched=100,  # match every padded GT (reference matches all)
         tf_size=(96, 96),
         tf_max_depth=512),
     panoptic_fusion_head=dict(

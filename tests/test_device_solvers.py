@@ -162,3 +162,27 @@ def test_device_and_host_mst_agree(rng):
     # rooted structure
     np.testing.assert_array_equal(np.asarray(p_dev), np.asarray(p_host))
     np.testing.assert_array_equal(np.asarray(d_dev), np.asarray(d_host))
+
+
+def test_hungarian_match_crowded_full_capacity(rng):
+    """Crowded-image regime (reference matches EVERY gt against all 100
+    queries, mask_hungarian_assigner.py:113-123): 100 queries x 100
+    padded GT slots with 60+ valid GTs must reproduce scipy's optimal
+    cost, and distinct GTs must get distinct queries."""
+    from scipy.optimize import linear_sum_assignment
+    from boxinstseg_tpu.core.targets.hungarian import hungarian_match
+    b, q, g = 2, 100, 100
+    cost = (rng.randn(b, q, g) * 3).astype(np.float32)
+    gt_valid = np.zeros((b, g), bool)
+    gt_valid[0, :93] = True     # COCO's most crowded images (~93)
+    gt_valid[1, :61] = True
+    assigned, valid = jax.jit(hungarian_match)(jnp.asarray(cost),
+                                               jnp.asarray(gt_valid))
+    assigned = np.asarray(assigned)
+    for i in range(b):
+        n = int(gt_valid[i].sum())
+        assert len(set(assigned[i, :n].tolist())) == n, 'duplicate query'
+        rows, cols = linear_sum_assignment(cost[i, :, :n])
+        want = cost[i][rows, cols].sum()
+        got = cost[i][assigned[i, :n], np.arange(n)].sum()
+        np.testing.assert_allclose(got, want, rtol=1e-5)
