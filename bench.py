@@ -77,6 +77,8 @@ def main():
     if use_bf16:
         set_compute_dtype(jnp.bfloat16)
     h, w = fam['hw']
+    if os.environ.get('BENCH_HW'):           # e.g. 672x1344 canvas bucket
+        h, w = (int(v) for v in os.environ['BENCH_HW'].split('x'))
 
     here = os.path.dirname(os.path.abspath(__file__))
     cfg = Config.fromfile(os.path.join(here, fam['cfg']))

@@ -20,9 +20,71 @@ from ..parallel import get_data_mesh, shard_batch
 from ..utils.logging import get_root_logger
 
 
+def _train_resize_cfg(cfg):
+    """The train pipeline's Resize step dict (walking dataset
+    wrappers), or None."""
+    try:
+        train = (cfg.get('data') or {})['train']
+    except Exception:
+        return None
+    for _ in range(4):                       # Repeat/ClassBalanced nest
+        if isinstance(train, dict) and 'pipeline' not in train \
+                and 'dataset' in train:
+            train = train['dataset']
+        else:
+            break
+    if not isinstance(train, dict):
+        return None
+    for step in train.get('pipeline', []) or []:
+        if isinstance(step, dict) and step.get('type') == 'Resize':
+            return step
+    return None
+
+
 def default_canvases(cfg) -> list:
-    """Canvas set for the config's train pipeline (orientation buckets)."""
-    return [(800, 1344), (1344, 800)]
+    """Canvas set for the config's train pipeline (orientation buckets).
+
+    Multiscale-'value' recipes (BoxInst/DiscoBox/BoxLevelset sample
+    short sides 640..800, reference configs' Resize img_scale lists)
+    waste ~20% of a fixed 800x1344 canvas on a 640 sample. Derive up to
+    3 short-side buckets (rounded up to the 32-divisor) so small-scale
+    batches land on a smaller compiled step. The loader samples the
+    multiscale choice PER BATCH (TrainLoader.batch_scales) so a batch
+    actually fits its bucket; per-image marginals are unchanged.
+    """
+    rs = _train_resize_cfg(cfg)
+    base = [(800, 1344), (1344, 800)]
+    if not rs:
+        return base
+    scales = rs.get('img_scale')
+    if rs.get('ratio_range') is not None \
+            or rs.get('multiscale_mode', 'range') != 'value' \
+            or not isinstance(scales, (list, tuple)) or not scales \
+            or not isinstance(scales[0], (list, tuple)):
+        return base
+    up32 = lambda v: -(-int(v) // 32) * 32   # noqa: E731
+    shorts = sorted({min(s) for s in scales})
+    long32 = up32(max(max(s) for s in scales))
+    k = min(3, len(shorts))
+    tops = sorted({shorts[-(-((i + 1) * len(shorts)) // k) - 1]
+                   for i in range(k)})
+    out = []
+    for t in tops:
+        out += [(up32(t), long32), (long32, up32(t))]
+    return out
+
+
+def batch_scale_choices(cfg):
+    """Per-batch multiscale list for TrainLoader (None = per-image)."""
+    rs = _train_resize_cfg(cfg)
+    if not rs or rs.get('ratio_range') is not None:
+        return None
+    scales = rs.get('img_scale')
+    if rs.get('multiscale_mode', 'range') == 'value' \
+            and isinstance(scales, (list, tuple)) and len(scales) > 1 \
+            and isinstance(scales[0], (list, tuple)):
+        return [tuple(s) for s in scales]
+    return None
 
 
 def apply_precision_policy(cfg) -> bool:
@@ -132,7 +194,8 @@ def train_detector(model, dataset, cfg: Config,
                          num_workers=data_cfg.get('workers_per_gpu', 2)
                          * max(jax.local_device_count(), 4),
                          seed=cfg.get('seed', 0),
-                         process_id=proc_id, process_count=proc_n)
+                         process_id=proc_id, process_count=proc_n,
+                         batch_scales=batch_scale_choices(cfg))
 
     iters_per_epoch = max(len(dataset) // global_batch, 1)
     iv = resolve_intervals(cfg, iters_per_epoch)

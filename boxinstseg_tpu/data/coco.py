@@ -122,8 +122,8 @@ class CocoDataset:
             segmentations=masks,
         )
 
-    def prepare(self, idx: int, rng: Optional[np.random.RandomState] = None
-                ) -> Optional[Dict]:
+    def prepare(self, idx: int, rng: Optional[np.random.RandomState] = None,
+                scale=None) -> Optional[Dict]:
         info = self.data_infos[idx]
         results = dict(
             img_info=info,
@@ -132,6 +132,8 @@ class CocoDataset:
             bbox_fields=[], mask_fields=[],
             rng=rng,
         )
+        if scale is not None:                # per-batch multiscale pick
+            results['scale'] = tuple(scale)
         return self.pipeline(results)
 
     def __getitem__(self, idx):
@@ -203,8 +205,9 @@ class RepeatDataset:
     def __getitem__(self, idx):
         return self.dataset[idx % len(self.dataset)]
 
-    def prepare(self, idx, rng=None):
-        return self.dataset.prepare(idx % len(self.dataset), rng)
+    def prepare(self, idx, rng=None, scale=None):
+        return self.dataset.prepare(idx % len(self.dataset), rng,
+                                    scale=scale)
 
     def evaluate(self, *a, **k):
         return self.dataset.evaluate(*a, **k)
@@ -232,9 +235,9 @@ class ConcatDataset:
         di, li = self._locate(idx)
         return self.datasets[di][li]
 
-    def prepare(self, idx, rng=None):
+    def prepare(self, idx, rng=None, scale=None):
         di, li = self._locate(idx)
-        return self.datasets[di].prepare(li, rng)
+        return self.datasets[di].prepare(li, rng, scale=scale)
 
 
 @DATASETS.register_module()
@@ -276,8 +279,8 @@ class ClassBalancedDataset:
     def __getitem__(self, idx):
         return self.dataset[self.indices[idx]]
 
-    def prepare(self, idx, rng=None):
-        return self.dataset.prepare(self.indices[idx], rng)
+    def prepare(self, idx, rng=None, scale=None):
+        return self.dataset.prepare(self.indices[idx], rng, scale=scale)
 
     def evaluate(self, *a, **k):
         return self.dataset.evaluate(*a, **k)
@@ -317,8 +320,8 @@ class MultiImageMixDataset:
     def __len__(self):
         return len(self.dataset)
 
-    def prepare(self, idx, rng=None):
-        results = self.dataset.prepare(idx, rng)
+    def prepare(self, idx, rng=None, scale=None):
+        results = self.dataset.prepare(idx, rng, scale=scale)
         if results is None:
             return None
         results['dataset'] = self.dataset

@@ -28,7 +28,8 @@ class TrainLoader:
 
     def __init__(self, dataset, batch_size: int, batcher: StaticBatcher,
                  num_workers: int = 8, seed: int = 0, prefetch: int = 2,
-                 process_id: int = 0, process_count: int = 1):
+                 process_id: int = 0, process_count: int = 1,
+                 batch_scales=None):
         assert batch_size % process_count == 0, (batch_size, process_count)
         self.dataset = dataset
         self.batch_size = batch_size
@@ -43,15 +44,22 @@ class TrainLoader:
         self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
         self.prefetch = prefetch
         self.seed = seed
+        # multiscale-'value' choice sampled PER BATCH so the whole
+        # batch fits one short-side canvas bucket (per-image choices
+        # keep the same marginal distribution but every mixed batch
+        # pads up to the largest canvas). Seeded on (seed, step): every
+        # process picks the same scale for the same global batch.
+        self.batch_scales = [tuple(s) for s in batch_scales] \
+            if batch_scales else None
 
-    def _load_one(self, idx: int, epoch_seed: int):
+    def _load_one(self, idx: int, epoch_seed: int, scale=None):
         rng = np.random.RandomState((epoch_seed * 1000003 + idx) % 2**31)
-        out = self.dataset.prepare(idx, rng)
+        out = self.dataset.prepare(idx, rng, scale=scale)
         tries = 0
         while out is None and tries < 10:   # e.g. RandomCrop rejected
             tries += 1
             alt = rng.randint(len(self.dataset))
-            out = self.dataset.prepare(alt, rng)
+            out = self.dataset.prepare(alt, rng, scale=scale)
         if out is None:
             raise RuntimeError(f'could not load a valid sample near {idx}')
         return out
@@ -66,7 +74,14 @@ class TrainLoader:
                 if stop.is_set():
                     return
                 batch_idx = batch_idx[self.local_slice]
-                futs = [self.pool.submit(self._load_one, i, self.seed + step)
+                scale = None
+                if self.batch_scales:
+                    brng = np.random.RandomState(
+                        (self.seed * 7919 + step) % 2**31)
+                    scale = self.batch_scales[
+                        brng.randint(len(self.batch_scales))]
+                futs = [self.pool.submit(self._load_one, i,
+                                         self.seed + step, scale)
                         for i in batch_idx]
                 samples = [f.result() for f in futs]
                 q.put(self.batcher(samples))

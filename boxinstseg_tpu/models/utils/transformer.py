@@ -217,6 +217,11 @@ class MultiScaleDeformableAttention(nn.Module):
         # instead of a python loop over heads (8 heads x 4 corners of
         # ~0.6 ms-latency gather ops each; profiled >0.5 s/step at LSJ
         # sizes). The weight+reduce stays elementwise on the VPU.
+        # msda_sample_psum carries a custom VJP whose d(value) runs as
+        # a windowed one-hot-matmul Pallas kernel on TPU (the XLA
+        # scatter backward was ~24 ms/layer at LSJ shapes) — see
+        # ops/msda_pallas.py.
+        from ...ops.msda_pallas import msda_sample_psum
         out = jnp.zeros((b, l, h, d), v.dtype)
         for lvl, (hh, ww) in enumerate(spatial_shapes):
             vl = v[:, starts[lvl]:starts[lvl + 1]]
@@ -226,18 +231,20 @@ class MultiScaleDeformableAttention(nn.Module):
             loc = reference_points[:, :, None, None, :] + \
                 offsets[:, :, :, lvl] / jnp.asarray(
                     [ww, hh], jnp.float32)                 # (b,l,h,p,2)
-            loc = loc.transpose(0, 2, 1, 3, 4).reshape(b * h, l * npnt, 2)
+            loc = loc.transpose(0, 2, 1, 3, 4).reshape(
+                b * h, l, npnt, 2)
             # attention weights fold into the sampler's per-sample corner
             # weights — ONE mul+reduce pass over the gathered rows; the
             # final p-sum is elementwise (an einsum here is a (4, d)
             # matvec batched over b*h*l — MXU-hostile, measured 2x slower
             # end-to-end)
             w_hp = attn[:, :, :, lvl].transpose(0, 2, 1, 3) \
-                .reshape(b * h, l * npnt)
-            smp = _grid_sample_bilinear_patch(
-                vl, loc[..., 0], loc[..., 1], w_hp.astype(jnp.float32))
-            out = out + smp.reshape(b, h, l, npnt, d).sum(axis=3) \
-                .transpose(0, 2, 1, 3)
+                .reshape(b * h, l, npnt)
+            smp = msda_sample_psum(
+                vl, loc[..., 0], loc[..., 1],
+                w_hp.astype(jnp.float32),
+                tuple(tuple(sh) for sh in spatial_shapes))
+            out = out + smp.reshape(b, h, l, d).transpose(0, 2, 1, 3)
         out = out.reshape(b, l, c)
         return Dense(c, name='output_proj')(out)
 

@@ -1,0 +1,368 @@
+"""Multi-scale deformable-attention sampling with a Pallas TPU backward.
+
+The reference consumes mmcv's CUDA ``ms_deform_attn`` kernel
+(reference: mmdet/models/utils/transformer.py:23; CUDA backward does
+atomicAdd scatters). On TPU the XLA formulation's backward lowers to
+688k-row scatter-adds per (level, layer) — ~24 ms/layer at Box2Mask LSJ
+shapes, the single largest cost in the step (see
+docs/tpu_performance_notes.md "scatter-add is row-count bound").
+
+This module provides ``msda_sample_psum`` — the weighted-sample +
+point-sum primitive — with a custom VJP whose d(value) runs as a
+windowed one-hot-matmul Pallas kernel:
+
+* Encoder queries sit on static grids, so each sample's target cell is
+  its STATIC base position plus a small learned offset. Samples are
+  processed against disjoint target-row ranges; for each range the
+  contributing samples form STATIC contiguous runs (per query
+  section), computed in numpy at trace time.
+* Samples stay in their NATURAL (bh, query, point) order — all the
+  kernel inputs (corner weights, cell indices, upstream grad) are pure
+  reshapes of tensors the VJP needs anyway, so the kernel consumes
+  them with zero repacking passes (an earlier p-major layout spent
+  38 ms/step materializing packed operands).
+* Each kernel visit loads one sample chunk (contiguous — no gather!)
+  and accumulates ``one_hot(cell)^T @ (w4 x g)`` into the range's
+  (RNG, 4c) block on the MXU. ~5 ms vs ~11.5 ms for the XLA scatter at
+  level-0 shapes (measured, v5e).
+* EXACTNESS: a sample whose offset exceeds the static window margin
+  cannot be handled by its runs. The wrapper checks this per call
+  (elementwise compare vs static bounds) and `lax.cond`-falls back to
+  the XLA scatter, so results are always exact; the fast path is taken
+  whenever every |offset| <= ~MARGIN_ROWS rows (true at init, where
+  offsets start at <= num_points+1 cells, and for typically-trained
+  offsets).
+
+Forward stays in XLA (flat patch row-gathers are already near the
+gather row-count floor). The custom VJP recomputes the gathered rows in
+the backward instead of saving them: at LSJ shapes that residual was
+176 MB per (level, layer).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# kernel tile parameters (measured optimum on v5e; see
+# docs/tpu_performance_notes.md)
+CH = 512            # samples per chunk (must divide section sizes)
+RNG = 768           # target cells per output block
+MARGIN_ROWS = 8     # static offset window, in target-level rows
+
+_FORCE_INTERPRET = False   # tests flip this to run the kernel on CPU
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ('cpu', 'gpu')
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=64)
+def _visit_tables(bh: int, h: int, w: int,
+                  query_grids: Tuple[Tuple[int, int], ...], p: int,
+                  ch: int, rng_: int, marg_rows: int):
+    """Static visit schedule for the d(patch) kernel (all numpy).
+
+    Sample order inside the kernel arrays is the NATURAL flattening
+    (bh, query, point): all p points of a query are adjacent and share
+    the query's static base cell, so per-section runs stay contiguous.
+    Returns None if shapes are ineligible (section sample counts not
+    divisible by ch, or ch not divisible by p).
+    """
+    ph, pw = h + 1, w + 1
+    cells = ph * pw
+    sizes = [gh * gw for gh, gw in query_grids]
+    if ch % p or any((s * p) % ch for s in sizes):
+        return None
+    l_tot = sum(sizes)
+    n = bh * l_tot * p
+    rng_ = min(rng_, -(-cells // 128) * 128)
+    marg = marg_rows * pw
+    nr = -(-cells // rng_)
+
+    bases = []
+    for (gh, gw) in query_grids:
+        qy, qx = np.mgrid[0:gh, 0:gw]
+        # mirror the f32 forward arithmetic so float rounding at cell
+        # boundaries cannot disagree with the traced computation
+        ry = ((qy + 0.5) / gh).astype(np.float32) * np.float32(h) \
+            - np.float32(0.5)
+        rx = ((qx + 0.5) / gw).astype(np.float32) * np.float32(w) \
+            - np.float32(0.5)
+        py = np.floor(ry).astype(np.int64) + 1
+        px = np.floor(rx).astype(np.int64) + 1
+        bases.append((py * pw + px).reshape(-1))
+    a_off = np.cumsum([0] + sizes)
+
+    vk, vs, vbase, vzero = [], [], [], []
+    lo_s = np.full(n, 2**30, np.int64)
+    hi_s = np.full(n, -1, np.int64)
+    nk = bh * nr
+    for bhi in range(bh):
+        for r in range(nr):
+            k = bhi * nr + r
+            first = True
+            for a, bq in enumerate(bases):
+                sel = np.nonzero((bq >= r * rng_ - marg) &
+                                 (bq < (r + 1) * rng_ + marg))[0]
+                if sel.size == 0:
+                    continue
+                la = sizes[a]
+                run0 = (bhi * l_tot + a_off[a]) * p
+                s0 = max(((run0 + sel[0] * p) // ch) * ch, run0)
+                s1 = run0 + (sel[-1] + 1) * p
+                nchunks = -(-(s1 - s0) // ch)
+                # section sample runs are ch-divisible so rounded
+                # chunks never cross into the next (section/bh) run
+                assert s0 + nchunks * ch <= run0 + la * p
+                for j in range(nchunks):
+                    vk.append(k)
+                    vs.append(s0 // ch + j)
+                    vbase.append(r * rng_)
+                    vzero.append(1 if first else 0)
+                    first = False
+                send = s0 + nchunks * ch
+                lo_s[s0:send] = np.minimum(lo_s[s0:send], r * rng_)
+                hi_s[s0:send] = np.maximum(hi_s[s0:send],
+                                           (r + 1) * rng_)
+            if first:
+                vk.append(k); vs.append(0)
+                vbase.append(-2**20); vzero.append(1)
+    return dict(
+        vk=np.asarray(vk, np.int32), vs=np.asarray(vs, np.int32),
+        vbase=np.asarray(vbase, np.int32),
+        vzero=np.asarray(vzero, np.int32),
+        lo=lo_s.astype(np.int32), hi=hi_s.astype(np.int32),
+        nr=nr, rng=rng_, nk=nk, cells=cells)
+
+
+def _dpatch_kernel_factory(rng_, ch, p, d):
+    from jax.experimental import pallas as pl
+
+    def kernel(vk_r, vs_r, vb_r, vz_r, idx_s, w_s, g_s, out_ref):
+        v = pl.program_id(0)
+
+        @pl.when(vz_r[v] == 1)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        base = vb_r[v]
+        # per-sample grad rows: repeat each query's g for its p points.
+        # A sublane broadcast+reshape lowers to a slow Mosaic relayout
+        # (measured 2x whole-kernel cost); a 0/1 repeat-matrix matmul
+        # rides the MXU instead.
+        qi = jax.lax.broadcasted_iota(jnp.int32, (ch, ch // p), 0) // p
+        ri = jax.lax.broadcasted_iota(jnp.int32, (ch, ch // p), 1)
+        g_rep = jax.lax.dot_general(
+            (qi == ri).astype(jnp.bfloat16),
+            g_s[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (ch, d)
+        u_t = jnp.concatenate(
+            [w_s[:, c:c + 1] * g_rep for c in range(4)],
+            axis=1)                                        # (ch, 4d)
+        rel = idx_s[0, :] - base
+        oh_t = (rel[None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (rng_, ch), 0)).astype(jnp.bfloat16)
+        out_ref[0] += jax.lax.dot_general(
+            oh_t, u_t.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def _dpatch_pallas(idx_flat, w4_flat, g_flat, tables, bh, p, d):
+    """idx_flat: (1, N) i32 cell indices; w4_flat: (N, 4) f32 corner
+    weights; g_flat: (BH*L, d) f32 upstream grad — all natural
+    (bh, query, point) order, pure reshapes of the VJP residue.
+    Returns (BH, CELLS, 4d) f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng_ = tables['rng']
+    nk = tables['nk']
+    nv = tables['vk'].shape[0]
+    kernel = _dpatch_kernel_factory(rng_, CH, p, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nv,),
+        in_specs=[
+            pl.BlockSpec((1, CH), lambda v, vk, vs, vb, vz:
+                         (0, vs[v]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, 4), lambda v, vk, vs, vb, vz:
+                         (vs[v], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH // p, d), lambda v, vk, vs, vb, vz:
+                         (vs[v], 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rng_, 4 * d), lambda v, vk, vs, vb, vz:
+            (vk[v], 0, 0), memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nk, rng_, 4 * d), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_FORCE_INTERPRET,
+    )(jnp.asarray(tables['vk']), jnp.asarray(tables['vs']),
+      jnp.asarray(tables['vbase']), jnp.asarray(tables['vzero']),
+      idx_flat, w4_flat, g_flat)
+    nr = tables['nr']
+    return out.reshape(bh, nr * rng_, 4 * d)[:, :tables['cells']]
+
+
+def _corner_data(value, loc_x, loc_y, weight):
+    """Shared forward geometry: padded patch table, flat row index per
+    sample (with bh offset), corner weights w4 (ok & attention folded).
+
+    value: (BH, H, W, c); loc_*/weight: (BH, S) f32 with S = L*P.
+    """
+    b, h, w, c = value.shape
+    x = loc_x * w - 0.5
+    y = loc_y * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    ok = ((x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1))
+    xi = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
+    yi = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
+    idx_local = yi * (w + 1) + xi                        # (BH, S)
+    w4 = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
+                    wy * (1 - wx), wy * wx], axis=-1)    # (BH, S, 4)
+    w4 = w4 * (ok * weight)[..., None]
+    pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patch = jnp.concatenate([
+        pad[:, :-1, :-1], pad[:, :-1, 1:],
+        pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)
+    flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
+    base_bh = (jnp.arange(b, dtype=jnp.int32)
+               * ((h + 1) * (w + 1)))[:, None]
+    return flat, idx_local, base_bh, w4, (wx, wy, ok)
+
+
+def _sample_psum_ref(value, loc_x, loc_y, weight, p):
+    """Pure-XLA forward: out[bh, l, c] = sum_p w4 . rows."""
+    b = value.shape[0]
+    c = value.shape[-1]
+    flat, idx_local, base_bh, w4, _ = _corner_data(
+        value, loc_x, loc_y, weight)
+    idx = (idx_local + base_bh).reshape(-1)
+    s = idx_local.shape[1]
+    rows = jnp.take(flat, idx, axis=0).reshape(b, s, 4, c)
+    out = (rows * w4[..., None].astype(rows.dtype)).sum(axis=2)
+    return out.reshape(b, s // p, p, c).sum(axis=2)
+
+
+def msda_sample_psum(value, loc_x, loc_y, weight,
+                     query_grids: Sequence[Tuple[int, int]]):
+    """Deformable-attention sampling for one target level.
+
+    value: (BH, H, W, c) level features (one head's channels);
+    loc_x/loc_y: (BH, L, P) normalized sampling locations;
+    weight: (BH, L, P) attention weights;
+    query_grids: static (h, w) of each query section (sum h*w = L).
+    Returns (BH, L, c) = sum_p weight * bilinear_sample(value, loc).
+    """
+    return _msda_sample_psum(value, loc_x, loc_y, weight,
+                             tuple(tuple(g) for g in query_grids))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _msda_sample_psum(value, loc_x, loc_y, weight, query_grids):
+    b, l, p = loc_x.shape
+    return _sample_psum_ref(value, loc_x.reshape(b, l * p),
+                            loc_y.reshape(b, l * p),
+                            weight.reshape(b, l * p), p)
+
+
+def _fwd(value, loc_x, loc_y, weight, query_grids):
+    out = _msda_sample_psum(value, loc_x, loc_y, weight, query_grids)
+    return out, (value, loc_x, loc_y, weight)
+
+
+def _bwd(query_grids, res, g):
+    value, loc_x, loc_y, weight = res
+    bh, h, w, c = value.shape
+    _, l, p = loc_x.shape
+    s = l * p
+    lx = loc_x.reshape(bh, s)
+    ly = loc_y.reshape(bh, s)
+    wt = weight.reshape(bh, s)
+    flat, idx_local, base_bh, w4, (wx, wy, ok) = _corner_data(
+        value, lx, ly, wt)
+    idx = (idx_local + base_bh).reshape(-1)
+
+    # --- d(loc), d(weight): recompute rows (cheap gather) instead of
+    # saving the (N, 4c) rows tensor as a residual. The c-contraction
+    # stays an elementwise mul+reduce in the rows dtype: a c=32 einsum
+    # lowers to MXU-hostile tiny matvecs and an f32 cast would
+    # materialize the 352 MB rows tensor (measured 73 ms/step) ---
+    rows = jnp.take(flat, idx, axis=0).reshape(bh, l, p, 4, c)
+    g_f = g.astype(jnp.float32)
+    g_b = g.astype(rows.dtype)
+    rdot = (rows * g_b[:, :, None, None, :]).sum(-1).astype(
+        jnp.float32)                                      # (BH,L,P,4)
+    wxr = wx.reshape(bh, l, p)
+    wyr = wy.reshape(bh, l, p)
+    okw = (ok.reshape(bh, l, p) * wt.reshape(bh, l, p)).astype(
+        jnp.float32)
+    cw = jnp.stack([(1 - wyr) * (1 - wxr), (1 - wyr) * wxr,
+                    wyr * (1 - wxr), wyr * wxr], axis=-1)
+    d_weight = (ok.reshape(bh, l, p).astype(jnp.float32)
+                * (cw * rdot).sum(-1)).astype(weight.dtype)
+    d_wx = okw * ((1 - wyr) * (rdot[..., 1] - rdot[..., 0])
+                  + wyr * (rdot[..., 3] - rdot[..., 2]))
+    d_wy = okw * ((1 - wxr) * (rdot[..., 2] - rdot[..., 0])
+                  + wxr * (rdot[..., 3] - rdot[..., 1]))
+    d_loc_x = (d_wx * w).astype(loc_x.dtype)
+    d_loc_y = (d_wy * h).astype(loc_y.dtype)
+
+    # --- d(value) via d(patch) ---
+    # g at sample granularity: u_row(sample) = w4 (x) g[query]
+    eligible = (c % 32 == 0) and (_on_tpu() or _FORCE_INTERPRET) \
+        and sum(gh * gw for gh, gw in query_grids) == l
+    tables = _visit_tables(bh, h, w, query_grids, p, CH, RNG,
+                           MARGIN_ROWS) if eligible else None
+
+    def xla_dpatch(_):
+        u = (w4.reshape(bh, l, p, 4)[..., None].astype(jnp.float32)
+             * g_f[:, :, None, None, :]).reshape(bh * s, 4 * c)
+        return jnp.zeros((bh * (h + 1) * (w + 1), 4 * c), jnp.float32
+                         ).at[idx].add(u).reshape(
+            bh, (h + 1) * (w + 1), 4 * c)
+
+    if tables is None:
+        d_patch = xla_dpatch(None)
+    else:
+        # every fast-path operand is a pure reshape — zero repacking
+        idx_flat = idx_local.reshape(1, bh * s)
+        w4_flat = w4.reshape(bh * s, 4).astype(jnp.float32)
+        g_flat = g_f.reshape(bh * l, c)
+        lo = jnp.asarray(tables['lo'])
+        hi = jnp.asarray(tables['hi'])
+        in_window = jnp.all((idx_flat[0] >= lo) & (idx_flat[0] < hi))
+
+        def fast(_):
+            return _dpatch_pallas(idx_flat, w4_flat, g_flat, tables,
+                                  bh, p, c)
+
+        d_patch = jax.lax.cond(in_window, fast, xla_dpatch, None)
+
+    # d_value[y, x] collects its four patch appearances — pure slices
+    # of d_patch, no pad/update-slice chain (which lowered to 11.6
+    # ms/step of dynamic-update-slice copies)
+    dp = d_patch.reshape(bh, h + 1, w + 1, 4, c)
+    d_value = (dp[:, 1:, 1:, 0] + dp[:, 1:, :-1, 1]
+               + dp[:, :-1, 1:, 2] + dp[:, :-1, :-1, 3]
+               ).astype(value.dtype)
+    return (d_value, d_loc_x, d_loc_y, d_weight)
+
+
+_msda_sample_psum.defvjp(_fwd, _bwd)

@@ -109,3 +109,72 @@ def test_grouped_sampler_single_group_batches():
     for _ in range(10):
         idx = next(it)
         assert len(set(flags[i] for i in idx)) == 1
+
+
+def test_default_canvases_buckets_multiscale():
+    """Multiscale-'value' recipes get <=3 short-side canvas buckets
+    (VERDICT r1 item 7); single-scale and LSJ recipes keep the fixed
+    canvas pair."""
+    from boxinstseg_tpu.apis.train import (batch_scale_choices,
+                                           default_canvases)
+
+    class C(dict):
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+    scales = [(1333, 800), (1333, 768), (1333, 736),
+              (1333, 704), (1333, 672), (1333, 640)]
+    cfg = C(data=dict(train=dict(pipeline=[
+        dict(type='LoadImageFromFile'),
+        dict(type='Resize', img_scale=scales, multiscale_mode='value',
+             keep_ratio=True)])))
+    canv = default_canvases(cfg)
+    assert (672, 1344) in canv and (736, 1344) in canv \
+        and (800, 1344) in canv
+    assert (1344, 672) in canv and len(canv) == 6
+    assert batch_scale_choices(cfg) == [tuple(s) for s in scales]
+
+    single = C(data=dict(train=dict(pipeline=[
+        dict(type='Resize', img_scale=(1333, 800), keep_ratio=True)])))
+    assert default_canvases(single) == [(800, 1344), (1344, 800)]
+    assert batch_scale_choices(single) is None
+
+    lsj = C(data=dict(train=dict(pipeline=[
+        dict(type='Resize', img_scale=(1024, 1024),
+             ratio_range=(0.1, 2.0), keep_ratio=True)])))
+    assert default_canvases(lsj) == [(800, 1344), (1344, 800)]
+    assert batch_scale_choices(lsj) is None
+
+
+def test_loader_batch_scale_lands_on_small_canvas(rng):
+    """With batch_scales, every image in a batch shares one multiscale
+    choice and a 640/672-short-side batch lands on the 672 canvas."""
+    from boxinstseg_tpu.data.loader import TrainLoader
+
+    class TinyDS:
+        flag = np.zeros(8, np.int64)
+
+        def __len__(self):
+            return 8
+
+        def prepare(self, idx, rng=None, scale=None):
+            assert scale is not None
+            r = Resize(img_scale=[(1333, 800)], multiscale_mode='value',
+                       keep_ratio=True)
+            s = sample(np.random.RandomState(idx), h=600, w=1000)
+            s['scale'] = tuple(scale)
+            return r(s)
+
+    batcher = StaticBatcher(
+        canvases=[(672, 1344), (1344, 672), (736, 1344), (1344, 736),
+                  (800, 1344), (1344, 800)], max_gts=8)
+    scales = [(1333, 800), (1333, 736), (1333, 672), (1333, 640)]
+    loader = TrainLoader(TinyDS(), 4, batcher, num_workers=2, seed=3,
+                         batch_scales=scales)
+    seen = set()
+    for i, batch in enumerate(loader):
+        seen.add(tuple(batch['image'].shape[1:3]))
+        if i >= 7:
+            break
+    assert seen <= {(672, 1344), (736, 1344), (800, 1344)}
+    assert len(seen) > 1    # several buckets actually hit
