@@ -132,8 +132,11 @@ class CocoDataset:
             bbox_fields=[], mask_fields=[],
             rng=rng,
         )
-        if scale is not None:                # per-batch multiscale pick
-            results['scale'] = tuple(scale)
+        if scale is not None:
+            # per-batch multiscale pick: consumed (popped) by the FIRST
+            # Resize only, so nested/mix-transform Resizes keep their
+            # own scale policy
+            results['batch_scale'] = tuple(scale)
         return self.pipeline(results)
 
     def __getitem__(self, idx):

@@ -140,7 +140,8 @@ class Resize:
     def __call__(self, results: Dict) -> Dict:
         import cv2
         rng = results.get('rng') or np.random
-        scale = results.get('scale') or self._pick_scale(rng)
+        scale = (results.pop('batch_scale', None)
+                 or results.get('scale') or self._pick_scale(rng))
         img = results['img']
         h, w = img.shape[:2]
         if self.keep_ratio:

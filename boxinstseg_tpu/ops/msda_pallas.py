@@ -331,9 +331,17 @@ def _bwd(query_grids, res, g):
     tables = _visit_tables(bh, h, w, query_grids, p, CH, RNG,
                            MARGIN_ROWS) if eligible else None
 
-    def xla_dpatch(_):
+    def xla_dpatch(_, quantize=False):
+        # quantize=True mirrors the Pallas path's precision exactly
+        # (g -> bf16, then w4*g -> bf16, f32 accumulation) so the two
+        # lax.cond branches agree numerically — a single out-of-window
+        # offset must not shift gradients for the whole call
+        g_u = g_f.astype(jnp.bfloat16).astype(jnp.float32) \
+            if quantize else g_f
         u = (w4.reshape(bh, l, p, 4)[..., None].astype(jnp.float32)
-             * g_f[:, :, None, None, :]).reshape(bh * s, 4 * c)
+             * g_u[:, :, None, None, :]).reshape(bh * s, 4 * c)
+        if quantize:
+            u = u.astype(jnp.bfloat16).astype(jnp.float32)
         return jnp.zeros((bh * (h + 1) * (w + 1), 4 * c), jnp.float32
                          ).at[idx].add(u).reshape(
             bh, (h + 1) * (w + 1), 4 * c)
@@ -353,7 +361,9 @@ def _bwd(query_grids, res, g):
             return _dpatch_pallas(idx_flat, w4_flat, g_flat, tables,
                                   bh, p, c)
 
-        d_patch = jax.lax.cond(in_window, fast, xla_dpatch, None)
+        d_patch = jax.lax.cond(
+            in_window, fast, lambda _: xla_dpatch(None, quantize=True),
+            None)
 
     # d_value[y, x] collects its four patch appearances — pure slices
     # of d_patch, no pad/update-slice chain (which lowered to 11.6

@@ -72,7 +72,7 @@ def test_yolox_mode_switch_and_skip_keys():
         def __len__(self):
             return 4
 
-        def prepare(self, idx, rng=None):
+        def prepare(self, idx, rng=None, scale=None):
             return {'x': idx}
 
     class MarkA:

@@ -127,9 +127,12 @@ def main():
     args = ap.parse_args()
 
     if not args.reuse:
-        os.system(f'rm -rf {args.logdir}')
+        import shutil
+        shutil.rmtree(args.logdir, ignore_errors=True)
         capture(args.steps, args.logdir)
     rows = load_hlo_stats(args.logdir)
+    if not rows:
+        raise SystemExit('hlo_stats table is empty — nothing captured?')
 
     def f(r, k):
         try:
@@ -137,10 +140,14 @@ def main():
         except ValueError:
             return 0.0
 
-    time_key = 'total_self_time'
-    cat_key = 'category'
-    src_key = next((k for k in rows[0] if 'source' in k.lower()), 'tf_op_name')
-    name_key = 'hlo_op_name'
+    def _resolve(substr, default):
+        # column ids vary across xprof versions; match on substring
+        return next((k for k in rows[0] if substr in k.lower()), default)
+
+    time_key = _resolve('self_time', 'total_self_time')
+    cat_key = _resolve('category', 'category')
+    src_key = _resolve('source', 'tf_op_name')
+    name_key = _resolve('hlo_op_name', 'hlo_op_name')
 
     total = sum(f(r, time_key) for r in rows) / args.steps
     print(f'device total per step: {total / 1000:.2f} ms '
