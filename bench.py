@@ -1,23 +1,25 @@
 """Benchmark: training throughput (images/sec/chip) for the shipped
-recipes, one family per invocation.
+recipes.
 
-Default (what the driver runs): BoxInst R-50-FPN 1x — the full jitted
-train step (backbone+FPN+heads+BoxInst losses+SGD) on synthetic 800x1344
-canvases with the reference config's shapes (reference recipe:
+Default (what the driver runs, no env vars): ALL FOUR families, one JSON
+line each, with the headline BoxInst R-50-FPN 1x line LAST so the
+driver's parsed record stays the full jitted BoxInst train step
+(backbone+FPN+heads+BoxInst losses+SGD) on synthetic 800x1344 canvases
+with the reference config's shapes (reference recipe:
 configs/boxinst/boxinst_r50_fpn_1x_coco.py, 2 img/GPU on 8xA100).
-Prints ONE JSON line.
 
-BENCH_MODEL selects the family — each is built FROM ITS SHIPPED CONFIG
-(so e.g. DiscoBox runs the full TS step with EMA teacher, CRF, and the
-correspondence bank the production recipe now carries):
-  boxinst (default) 800x1344 b8 | discobox 800x1344 b2 (TS+corr bank)
+BENCH_MODEL restricts to one family — each is built FROM ITS SHIPPED
+CONFIG (so e.g. DiscoBox runs the full TS step with EMA teacher, CRF,
+and the correspondence bank the production recipe now carries):
+  boxinst 800x1344 b8 | discobox 800x1344 b2 (TS+corr bank)
   | boxlevelset 800x1344 b4 | box2mask 1024x1024 b1 LSJ.
 Override batch with BENCH_BATCH, precision with BENCH_BF16=0.
 
-vs_baseline: the reference publishes no throughput; BASELINE.md sets the
-target at >=2x images/sec/chip vs the 8-GPU A100 run. A100 mmdet-style
-CondInst/BoxInst training runs at ~0.25 s/iter for 16 images => ~8
-img/s/GPU; we report vs_baseline = (our img/s/chip) / 8.0.
+vs_baseline: the reference publishes NO throughput numbers (BASELINE.md);
+the denominator is an ESTIMATE — mmdet-style CondInst/BoxInst training
+runs at ~0.25 s/iter for 16 images on 8xA100 => ~8 img/s/GPU. Each JSON
+line carries `baseline: "est. 8 img/s per A100"` to make that explicit;
+BASELINE.md's target is >=2x images/sec/chip vs that estimate.
 """
 import json
 import os
@@ -57,7 +59,7 @@ def _step_flops(step, state, batch):
         return 0.0
 
 
-def main():
+def bench_family(family):
     import jax
     import jax.numpy as jnp
     import boxinstseg_tpu  # noqa: F401
@@ -70,7 +72,6 @@ def main():
     from boxinstseg_tpu.models.layers import set_compute_dtype
     from __graft_entry__ import _synth_batch
 
-    family = os.environ.get('BENCH_MODEL', 'boxinst')
     fam = FAMILIES[family]
     batch_size = int(os.environ.get('BENCH_BATCH', fam['batch']))
     use_bf16 = os.environ.get('BENCH_BF16', '1') != '0'
@@ -153,11 +154,24 @@ def main():
         'value': round(img_per_sec, 3),
         'unit': 'images/sec/chip',
         'vs_baseline': round(img_per_sec / baseline, 3),
+        'baseline': 'est. 8 img/s per A100 (reference publishes none)',
         'batch_per_chip': batch_size,
         'precision': 'bf16' if use_bf16 else 'f32',
         'step_time_ms': round(1000 * dt / iters, 2),
         'mfu': round(mfu, 4),
-    }))
+    }), flush=True)
+
+
+def main():
+    only = os.environ.get('BENCH_MODEL')
+    if only:
+        bench_family(only)
+        return
+    # all four, headline boxinst LAST (the driver records the last line)
+    for family in ('discobox', 'boxlevelset', 'box2mask', 'boxinst'):
+        bench_family(family)
+        import gc
+        gc.collect()
 
 
 if __name__ == '__main__':

@@ -42,6 +42,16 @@ def init_detector(config: Union[str, Config],
             params, stats = convert_reference_checkpoint(sd)
             from .train import _merge_pretrained
             variables = _merge_pretrained(variables, (params, stats))
+        elif checkpoint.endswith('.msgpack'):
+            # output of tools/model_converters/torch2jax.py: a msgpack
+            # blob holding {'params', 'batch_stats'[, 'meta']} with the
+            # converted reference weights (docs/ap_parity_runbook.md)
+            from flax import serialization
+            with open(checkpoint, 'rb') as f:
+                blob = serialization.msgpack_restore(f.read())
+            from .train import _merge_pretrained
+            variables = _merge_pretrained(
+                variables, (blob['params'], blob.get('batch_stats') or {}))
         else:
             import os
             if not os.path.isdir(checkpoint):

@@ -73,12 +73,41 @@ def format_detection(out: Dict, i: int, img_shape, ori_shape,
     """
     valid = out['valid'][i]
     labels = out['labels'][i][valid]
-    masks_s = out['masks'][i][valid]
     scores = out['scores'][i][valid]
-    is_solo = 'bboxes' not in out
-    thresh = float((test_cfg or {}).get('mask_thr', 0.5)) if is_solo else 0.5
-    masks = postprocess_masks(masks_s, img_shape, ori_shape, thresh=thresh,
-                              aligned=not is_solo)
+    if 'masks_logit' in out:
+        # MaskFormer/Box2Mask family: finish the reference fusion-head
+        # chain on the host — interpolate LOGITS to padded input res,
+        # crop img_shape, rescale to ori_shape, binarize at logits>0,
+        # rescore at ORIGINAL resolution (maskformer_fusion_head.py:
+        # simple_test :200-232 then instance_postprocess :112-162)
+        import cv2
+        ih, iw = int(img_shape[0]), int(img_shape[1])
+        oh, ow = int(ori_shape[0]), int(ori_shape[1])
+        masks, mask_scores = [], []
+        for m in np.asarray(out['masks_logit'][i][valid], np.float32):
+            full = cv2.resize(m, None, fx=4, fy=4,
+                              interpolation=cv2.INTER_LINEAR)[:ih, :iw]
+            full = cv2.resize(full, (ow, oh),
+                              interpolation=cv2.INTER_LINEAR)
+            binary = full > 0
+            pos = binary.sum()
+            sig = 1.0 / (1.0 + np.exp(-full))
+            mask_scores.append((sig * binary).sum() / (pos + 1e-6))
+            masks.append(binary.astype(np.uint8))
+        scores = scores * np.asarray(mask_scores, scores.dtype)
+        # empty masks get score 0 in the reference; we drop them (their
+        # RLE is empty and they cannot match anything in COCOeval)
+        nonempty = np.array([m.any() for m in masks], bool)
+        labels, scores = labels[nonempty], scores[nonempty]
+        masks = [m for m, k in zip(masks, nonempty) if k]
+        is_solo = True
+    else:
+        is_solo = 'bboxes' not in out
+        thresh = float((test_cfg or {}).get('mask_thr', 0.5)) \
+            if is_solo else 0.5
+        masks_s = out['masks'][i][valid]
+        masks = postprocess_masks(masks_s, img_shape, ori_shape,
+                                  thresh=thresh, aligned=not is_solo)
     if not is_solo:
         boxes = np.concatenate([out['bboxes'][i][valid], scores[:, None]], -1)
     else:

@@ -16,9 +16,13 @@ from ..layers import f32_tree
 
 def instance_postprocess(mask_cls: jnp.ndarray, mask_pred: jnp.ndarray,
                          max_per_image: int = 100) -> Dict[str, jnp.ndarray]:
-    """Query outputs -> fixed-capacity instances (reference
-    MaskFormerFusionHead.instance_postprocess): flattened (query, class)
-    top-k on softmax scores, binary masks at logits>0, mask rescoring.
+    """Query outputs -> fixed-capacity instance candidates (reference
+    MaskFormerFusionHead.instance_postprocess, the device half):
+    flattened (query, class) top-k on softmax scores + the matching mask
+    LOGITS. Mask binarization (logits > 0) and mask rescoring happen on
+    the host at ORIGINAL resolution (``format_detection``), exactly like
+    the reference, which interpolates logits to ori_shape BEFORE
+    instance_postprocess (maskformer_fusion_head.py:200-232,112-162).
 
     mask_cls: (B, Q, C+1); mask_pred: (B, Q, H4, W4) logits.
     """
@@ -32,13 +36,9 @@ def instance_postprocess(mask_cls: jnp.ndarray, mask_pred: jnp.ndarray,
     query_idx = top_idx // c
     masks_logit = jnp.take_along_axis(
         mask_pred, query_idx[..., None, None], axis=1)      # (B, k, H, W)
-    binary = (masks_logit > 0).astype(jnp.float32)
-    mask_score = (jax.nn.sigmoid(masks_logit) * binary).sum(
-        axis=(2, 3)) / jnp.maximum(binary.sum(axis=(2, 3)), 1e-6)
-    det_scores = top_scores * mask_score
-    valid = binary.sum(axis=(2, 3)) > 0
-    return dict(scores=jnp.where(valid, det_scores, 0.0), labels=labels,
-                masks=jax.nn.sigmoid(masks_logit), valid=valid)
+    return dict(scores=top_scores, labels=labels,
+                masks_logit=masks_logit,
+                valid=jnp.ones_like(top_scores, bool))
 
 
 @DETECTORS.register_module()

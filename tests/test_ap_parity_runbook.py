@@ -1,0 +1,119 @@
+"""Smoke test for docs/ap_parity_runbook.md: the full real-data
+AP-parity command path
+
+    reference .pth -> tools/model_converters/torch2jax.py
+                   -> tools/test.py CONFIG CKPT.msgpack --eval bbox segm
+                   -> COCO-protocol metrics json
+
+driven end-to-end through the REAL CLIs (subprocesses), with the
+in-test torch BoxInst (reference module naming/forward math, from
+test_boxinst_convert_parity) standing in for a zoo checkpoint and a
+synthetic painted-rectangles COCO json standing in for val2017 — so the
+moment real data/checkpoints become mountable only the inputs change.
+Reference chain being mirrored: /root/reference/tools/test.py +
+mmdet/datasets/coco.py:386-649 (see BASELINE.md for the zoo numbers
+this path is meant to reproduce).
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import boxinstseg_tpu  # noqa: F401
+
+from test_integration import make_dataset, H, W, NUM_CLASSES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_config(path, ann_file, img_dir):
+    from test_boxinst_model import tiny_boxinst_cfg
+    classes = tuple(f'cls{c}' for c in range(NUM_CLASSES))
+    img_norm = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_rgb=True)
+    test_pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=(W, H), flip=False,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='RandomFlip'),
+                 dict(type='Normalize', **img_norm),
+                 dict(type='Pad', size_divisor=32),
+                 dict(type='Collect', keys=['img']),
+             ])]
+    cfg = tiny_boxinst_cfg()
+    cfg['test_cfg']['score_thr'] = 0.01
+    data = dict(samples_per_gpu=2, workers_per_gpu=1,
+                test=dict(type='CocoDataset', ann_file=ann_file,
+                          img_prefix=img_dir, pipeline=test_pipeline,
+                          classes=classes))
+    with open(path, 'w') as f:
+        f.write(f'model = {cfg!r}\n')
+        f.write(f'data = {data!r}\n')
+        f.write(f'canvases = [({H}, {W})]\n')
+        f.write('max_gts = 8\n')
+
+
+def test_pth_to_msgpack_to_ap_cli_chain(tmp_path):
+    torch = pytest.importorskip('torch')
+    from torch import nn
+    from test_boxinst_convert_parity import _build_torch_boxinst
+    from boxinstseg_tpu.utils.checkpoint_convert import \
+        convert_reference_checkpoint
+
+    # ---- stand-in zoo checkpoint (reference naming + meta block) ----
+    tmodel = _build_torch_boxinst(torch, nn)
+    pth = str(tmp_path / 'boxinst_tiny.pth')
+    classes = tuple(f'cls{c}' for c in range(NUM_CLASSES))
+    torch.save(dict(state_dict=tmodel.state_dict(),
+                    meta=dict(CLASSES=classes, mmdet_version='2.25.0',
+                              epoch=12, iter=7330)), pth)
+
+    # ---- step 1: convert via the CLI --------------------------------
+    msgpack = str(tmp_path / 'boxinst_tiny.msgpack')
+    r = subprocess.run(
+        [sys.executable, os.path.join('tools', 'model_converters',
+                                      'torch2jax.py'), pth, msgpack],
+        cwd=REPO, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(msgpack)
+
+    # the msgpack must round-trip the EXACT converted tree (what
+    # init_detector's on-the-fly .pth path would produce)
+    from flax import serialization
+    with open(msgpack, 'rb') as f:
+        blob = serialization.msgpack_restore(f.read())
+    params, stats = convert_reference_checkpoint(tmodel.state_dict())
+    for want, got, tag in ((params, blob['params'], 'params'),
+                           (stats, blob['batch_stats'], 'batch_stats')):
+        import jax
+        wl, wt = jax.tree_util.tree_flatten(want)
+        gl, gt = jax.tree_util.tree_flatten(got)
+        assert wt == gt, f'{tag}: tree structure changed in msgpack'
+        for a, b in zip(wl, gl):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f'{tag} leaf differs')
+    assert tuple(blob['meta']['CLASSES']) == classes
+    assert blob['meta']['iter'] == 7330
+
+    # ---- step 2: evaluate via the CLI -------------------------------
+    ann_file, img_dir = make_dataset(str(tmp_path))
+    cfg_path = str(tmp_path / 'boxinst_tiny_cfg.py')
+    _write_config(cfg_path, ann_file, img_dir)
+    metrics_path = str(tmp_path / 'metrics.json')
+    r = subprocess.run(
+        [sys.executable, os.path.join('tools', 'test.py'), cfg_path,
+         msgpack, '--eval', 'bbox', 'segm', '--device', 'cpu',
+         '--out', metrics_path],
+        cwd=REPO, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    with open(metrics_path) as f:
+        metrics = json.load(f)
+    # untrained stand-in weights: AP value is near-zero/-1 by protocol;
+    # the gate is that the COCO-protocol surface came out of the chain
+    for key in ('bbox_mAP', 'segm_mAP', 'bbox_mAP_50', 'segm_mAP_50'):
+        assert key in metrics, (key, metrics)
+        assert np.isfinite(metrics[key]) or metrics[key] == -1

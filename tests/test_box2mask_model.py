@@ -124,9 +124,21 @@ def test_instance_postprocess_shapes(setup):
     out = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))(
         variables, batch)
     d = out['scores'].shape[1]
-    assert out['masks'].shape == (2, d, H // 4, W // 4)
+    # device half returns raw cls scores + mask LOGITS; binarization and
+    # rescoring happen at ori-res on the host (format_detection), like
+    # the reference fusion head
+    assert out['masks_logit'].shape == (2, d, H // 4, W // 4)
     s = np.asarray(out['scores'])
     assert np.all(s >= 0) and np.all(s <= 1)
+
+    from boxinstseg_tpu.apis.test import format_detection
+    res = format_detection(
+        jax.tree_util.tree_map(np.asarray, out), 0, (H, W), (H, W), {})
+    assert len(res.bboxes) == len(res.masks) == len(res.labels)
+    for m in res.masks:
+        assert m.shape == (H, W) and m.any()
+    # host rescoring multiplies in the mean-sigmoid-over-mask factor
+    assert np.all(res.bboxes[:, 4] >= 0) and np.all(res.bboxes[:, 4] <= 1)
 
 
 def test_swin_backbone_shapes():
