@@ -142,6 +142,245 @@ def _visit_tables(bh: int, h: int, w: int,
         nr=nr, rng=rng_, nk=nk, cells=cells)
 
 
+@functools.lru_cache(maxsize=64)
+def _fwd_visit_tables(bh: int, h: int, w: int,
+                      query_grids: Tuple[Tuple[int, int], ...], p: int,
+                      ch: int, rng_: int, marg_rows: int):
+    """Static visit schedule for the FORWARD sampling / backward rdot
+    kernels (all numpy). Unlike ``_visit_tables`` (ordered by target
+    block so d(patch) blocks accumulate consecutively), this schedule is
+    ordered by SAMPLE CHUNK: the per-chunk output block stays VMEM
+    resident across its (few) target-block visits, and each sample's
+    cell lands in exactly one visited block so outputs accumulate
+    exactly once.
+
+    Index space here is the (h+2, w+2) zero-padded VALUE plane (flat
+    stride w+2) — the kernel rebuilds the 4-corner patch row from
+    shifted slices of the padded rows instead of consuming a
+    materialized (cells, 4c) patch tensor (which cost ~22 ms/step at
+    Box2Mask LSJ shapes). Returns None if shapes are ineligible.
+    """
+    pw2 = w + 2
+    cells = (h + 1) * pw2 + 1          # max corner cell + 1
+    sizes = [gh * gw for gh, gw in query_grids]
+    if ch % p or any((s * p) % ch for s in sizes):
+        return None
+    l_tot = sum(sizes)
+    n = bh * l_tot * p
+    rng_ = min(rng_, -(-cells // 128) * 128)
+    if rng_ < pw2 + 2:                 # patch slices need pw2+1 slack
+        return None
+    marg = marg_rows * pw2
+    nr = -(-cells // rng_)
+
+    bases = []
+    for (gh, gw) in query_grids:
+        qy, qx = np.mgrid[0:gh, 0:gw]
+        ry = ((qy + 0.5) / gh).astype(np.float32) * np.float32(h) \
+            - np.float32(0.5)
+        rx = ((qx + 0.5) / gw).astype(np.float32) * np.float32(w) \
+            - np.float32(0.5)
+        py = np.floor(ry).astype(np.int64) + 1
+        px = np.floor(rx).astype(np.int64) + 1
+        bases.append((py * pw2 + px).reshape(-1))
+    a_off = np.cumsum([0] + sizes)
+
+    nchunks = n // ch
+    vs, vr, vz, vbh = [], [], [], []
+    lo_s = np.zeros(n, np.int64)
+    hi_s = np.zeros(n, np.int64)
+    for i in range(nchunks):
+        s0 = i * ch
+        bhi = s0 // (l_tot * p)
+        rem = s0 - bhi * l_tot * p
+        a = int(np.searchsorted(a_off[1:] * p, rem, side='right'))
+        qlo = rem // p - a_off[a]
+        qhi = qlo + ch // p
+        bq = bases[a][qlo:qhi]
+        r0 = max(int(bq.min() - marg) // rng_, 0)
+        r1 = min(int(bq.max() + marg) // rng_, nr - 1)
+        for j, r in enumerate(range(r0, r1 + 1)):
+            vs.append(i)
+            vr.append(r)
+            vz.append(1 if j == 0 else 0)
+            vbh.append(bhi)
+        lo_s[s0:s0 + ch] = r0 * rng_
+        hi_s[s0:s0 + ch] = (r1 + 1) * rng_
+    return dict(
+        vs=np.asarray(vs, np.int32), vr=np.asarray(vr, np.int32),
+        vz=np.asarray(vz, np.int32), vbh=np.asarray(vbh, np.int32),
+        lo=lo_s.astype(np.int32), hi=hi_s.astype(np.int32),
+        nr=nr, rng=rng_, cells=cells, nchunks=nchunks, pw2=pw2)
+
+
+def _geom2(value_shape, loc_x, loc_y, weight):
+    """Per-sample geometry in the PADDED-VALUE index space (flat stride
+    w+2, matching ``_fwd_visit_tables``): top-left corner cell index,
+    f32 corner weights (ok & attention folded), and the raw (wx, wy, ok)
+    pieces the VJP needs. No patch/flat tensor is built here — the
+    kernels reconstruct corner rows from shifted slices on chip, and
+    the XLA fallbacks build their gather table inside their own
+    ``lax.cond`` branch so the hot path never pays for it."""
+    _, h, w, _ = value_shape
+    x = loc_x * w - 0.5
+    y = loc_y * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    ok = ((x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1))
+    xi = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
+    yi = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
+    idx2 = yi * (w + 2) + xi                             # (BH, S)
+    w4 = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
+                    wy * (1 - wx), wy * wx], axis=-1)    # (BH, S, 4)
+    w4 = (w4 * (ok * weight)[..., None]).astype(jnp.float32)
+    return idx2, w4, (wx, wy, ok)
+
+
+def _padflat2(value, rng_, nr):
+    """(BH, H, W, c) -> (BH, (nr+1)*rng_, c) zero-padded flat plane of
+    the (h+2, w+2) padded value (one extra rng_ block so the kernel can
+    always load blocks r and r+1)."""
+    b, h, w, c = value.shape
+    pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    flat = pad.reshape(b, (h + 2) * (w + 2), c)
+    extra = (nr + 1) * rng_ - flat.shape[1]
+    return jnp.pad(flat, ((0, 0), (0, extra), (0, 0)))
+
+
+def _patch_block_from_rows(rows, rng_, pw2, c):
+    """(2*rng_, c) padded-value rows starting at a block boundary ->
+    (rng_, 4c) bilinear patch rows [top-left, top-right, bottom-left,
+    bottom-right] via static shifted slices."""
+    return jnp.concatenate(
+        [rows[0:rng_], rows[1:rng_ + 1],
+         rows[pw2:pw2 + rng_], rows[pw2 + 1:pw2 + 1 + rng_]], axis=1)
+
+
+def _fwd_kernel_factory(rng_, ch, p, c, pw2):
+    from jax.experimental import pallas as pl
+
+    def kernel(vs_r, vr_r, vz_r, vbh_r, idx_s, w_s, padA, padB, out_ref):
+        v = pl.program_id(0)
+
+        @pl.when(vz_r[v] == 1)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        rel = idx_s[0, :] - vr_r[v] * rng_
+
+        @pl.when(jnp.any((rel >= 0) & (rel < rng_)))
+        def _():
+            rows = jnp.concatenate([padA[0], padB[0]], axis=0)
+            patch = _patch_block_from_rows(rows, rng_, pw2, c)
+            # one-hot row pick: exact regardless of dtype (each output
+            # element is a single patch value, f32-accumulated)
+            oh = (rel[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (ch, rng_), 1)).astype(patch.dtype)
+            vals = jax.lax.dot_general(
+                oh, patch,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (ch, 4c)
+            u = sum(w_s[:, k:k + 1] * vals[:, k * c:(k + 1) * c]
+                    for k in range(4))                     # f32 (ch, c)
+            # point-sum via a 0/1 fold matrix in f32 (exact)
+            qi = jax.lax.broadcasted_iota(jnp.int32, (ch // p, ch), 0)
+            si = jax.lax.broadcasted_iota(jnp.int32, (ch // p, ch), 1)
+            fold = (si // p == qi).astype(jnp.float32)
+            out_ref[:] += jax.lax.dot_general(
+                fold, u,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (ch//p, c)
+
+    return kernel
+
+
+def _rdot_kernel_factory(rng_, ch, p, c, pw2):
+    from jax.experimental import pallas as pl
+
+    def kernel(vs_r, vr_r, vz_r, vbh_r, idx_s, g_s, padA, padB, out_ref):
+        v = pl.program_id(0)
+
+        @pl.when(vz_r[v] == 1)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        rel = idx_s[0, :] - vr_r[v] * rng_
+
+        @pl.when(jnp.any((rel >= 0) & (rel < rng_)))
+        def _():
+            rows = jnp.concatenate([padA[0], padB[0]], axis=0)
+            patch = _patch_block_from_rows(rows, rng_, pw2, c)
+            oh = (rel[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (ch, rng_), 1)).astype(patch.dtype)
+            vals = jax.lax.dot_general(
+                oh, patch,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (ch, 4c)
+            # per-sample grad rows via the repeat matmul (f32: exact)
+            qi = jax.lax.broadcasted_iota(jnp.int32, (ch, ch // p), 0)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (ch, ch // p), 1)
+            g_rep = jax.lax.dot_general(
+                (qi // p == ri).astype(jnp.float32),
+                g_s[:].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (ch, c)
+            out_ref[:] += jnp.concatenate(
+                [jnp.sum(vals[:, k * c:(k + 1) * c] * g_rep, axis=1,
+                         keepdims=True) for k in range(4)],
+                axis=1)                                    # (ch, 4)
+
+    return kernel
+
+
+def _fwd_rdot_pallas(kernel_factory, out_block, out_rows, idx2_flat,
+                     aux_flat, padflat, tables, p, c):
+    """Shared pallas_call driver for the fwd-sampling and rdot kernels.
+
+    idx2_flat: (1, N) i32 padded-plane cells; aux_flat: (N, 4) f32 w4
+    (fwd) or (N//p, c) f32 grad rows (rdot); padflat: (BH, (nr+1)*rng,
+    c). Returns (nchunks*out_block0, out_block1) f32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng_ = tables['rng']
+    nv = tables['vs'].shape[0]
+    kernel = kernel_factory(rng_, CH, p, c, tables['pw2'])
+    if aux_flat.shape[0] == idx2_flat.shape[1]:      # (N, 4) w4
+        aux_spec = pl.BlockSpec((CH, 4), lambda v, vs, vr, vz, vbh:
+                                (vs[v], 0), memory_space=pltpu.VMEM)
+    else:                                            # (N//p, c) grads
+        aux_spec = pl.BlockSpec((CH // p, c), lambda v, vs, vr, vz, vbh:
+                                (vs[v], 0), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nv,),
+        in_specs=[
+            pl.BlockSpec((1, CH), lambda v, vs, vr, vz, vbh:
+                         (0, vs[v]), memory_space=pltpu.VMEM),
+            aux_spec,
+            pl.BlockSpec((1, rng_, c), lambda v, vs, vr, vz, vbh:
+                         (vbh[v], vr[v], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rng_, c), lambda v, vs, vr, vz, vbh:
+                         (vbh[v], vr[v] + 1, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (out_block[0], out_block[1]), lambda v, vs, vr, vz, vbh:
+            (vs[v], 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((out_rows, out_block[1]),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_FORCE_INTERPRET,
+    )(jnp.asarray(tables['vs']), jnp.asarray(tables['vr']),
+      jnp.asarray(tables['vz']), jnp.asarray(tables['vbh']),
+      idx2_flat, aux_flat, padflat, padflat)
+
+
 def _dpatch_kernel_factory(rng_, ch, p, d):
     from jax.experimental import pallas as pl
 
@@ -153,27 +392,40 @@ def _dpatch_kernel_factory(rng_, ch, p, d):
             out_ref[0] = jnp.zeros_like(out_ref[0])
 
         base = vb_r[v]
-        # per-sample grad rows: repeat each query's g for its p points.
-        # A sublane broadcast+reshape lowers to a slow Mosaic relayout
-        # (measured 2x whole-kernel cost); a 0/1 repeat-matrix matmul
-        # rides the MXU instead.
-        qi = jax.lax.broadcasted_iota(jnp.int32, (ch, ch // p), 0) // p
-        ri = jax.lax.broadcasted_iota(jnp.int32, (ch, ch // p), 1)
-        g_rep = jax.lax.dot_general(
-            (qi == ri).astype(jnp.bfloat16),
-            g_s[:].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (ch, d)
-        u_t = jnp.concatenate(
-            [w_s[:, c:c + 1] * g_rep for c in range(4)],
-            axis=1)                                        # (ch, 4d)
         rel = idx_s[0, :] - base
-        oh_t = (rel[None, :] == jax.lax.broadcasted_iota(
-            jnp.int32, (rng_, ch), 0)).astype(jnp.bfloat16)
-        out_ref[0] += jax.lax.dot_general(
-            oh_t, u_t.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+
+        # the static visit window assumes worst-case |offset| <=
+        # MARGIN_ROWS, so a chunk is scheduled against ~3-4 adjacent
+        # cell blocks — but ACTUAL offsets are tiny (<= 1-2 cells at
+        # init and for typically-trained weights), leaving most margin
+        # visits with zero in-block samples. Predicating the two MXU
+        # matmuls on a dynamic hit test cuts the kernel's dominant cost
+        # (the one-hot matmuls: ~85 -> ~35 ms/step at Box2Mask LSJ
+        # shapes) while staying exact: skipped visits contribute only
+        # zeros.
+        @pl.when(jnp.any((rel >= 0) & (rel < rng_)))
+        def _():
+            # per-sample grad rows: repeat each query's g for its p
+            # points. A sublane broadcast+reshape lowers to a slow
+            # Mosaic relayout (measured 2x whole-kernel cost); a 0/1
+            # repeat-matrix matmul rides the MXU instead.
+            qi = jax.lax.broadcasted_iota(
+                jnp.int32, (ch, ch // p), 0) // p
+            ri = jax.lax.broadcasted_iota(jnp.int32, (ch, ch // p), 1)
+            g_rep = jax.lax.dot_general(
+                (qi == ri).astype(jnp.bfloat16),
+                g_s[:].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (ch, d)
+            u_t = jnp.concatenate(
+                [w_s[:, c:c + 1] * g_rep for c in range(4)],
+                axis=1)                                    # (ch, 4d)
+            oh_t = (rel[None, :] == jax.lax.broadcasted_iota(
+                jnp.int32, (rng_, ch), 0)).astype(jnp.bfloat16)
+            out_ref[0] += jax.lax.dot_general(
+                oh_t, u_t.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     return kernel
 
@@ -274,12 +526,66 @@ def msda_sample_psum(value, loc_x, loc_y, weight,
                              tuple(tuple(g) for g in query_grids))
 
 
+def _eligible(c, query_grids, l):
+    return (c % 32 == 0) and (_on_tpu() or _FORCE_INTERPRET) \
+        and sum(gh * gw for gh, gw in query_grids) == l
+
+
+def _xla_sample_f32(value, idx2, w4, p):
+    """XLA forward with f32 accumulation — the exact-math twin of the
+    Pallas forward kernel, used as its out-of-window ``lax.cond``
+    fallback (identical products & summation order, so one escaped
+    offset cannot shift numerics call-wide). The patch/gather table is
+    built HERE, inside the branch, so the hot path never materializes
+    it."""
+    b, h, w, c = value.shape
+    s = idx2.shape[1]
+    pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patch = jnp.concatenate([
+        pad[:, :-1, :-1], pad[:, :-1, 1:],
+        pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)
+    flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
+    # idx2 is in (h+2, w+2)-stride space; convert to patch (h+1, w+1)
+    yi = idx2 // (w + 2)
+    xi = idx2 - yi * (w + 2)
+    base_bh = (jnp.arange(b, dtype=jnp.int32)
+               * ((h + 1) * (w + 1)))[:, None]
+    idx = (yi * (w + 1) + xi + base_bh).reshape(-1)
+    rows = jnp.take(flat, idx, axis=0).reshape(b, s, 4, c)
+    out = (rows.astype(jnp.float32) * w4[..., None]).sum(axis=2)
+    return out.reshape(b, s // p, p, c).sum(axis=2)     # f32
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _msda_sample_psum(value, loc_x, loc_y, weight, query_grids):
     b, l, p = loc_x.shape
-    return _sample_psum_ref(value, loc_x.reshape(b, l * p),
-                            loc_y.reshape(b, l * p),
-                            weight.reshape(b, l * p), p)
+    bh, h, w, c = value.shape
+    ftables = _fwd_visit_tables(bh, h, w, query_grids, p, CH, RNG,
+                                MARGIN_ROWS) \
+        if _eligible(c, query_grids, l) else None
+    if ftables is None:
+        return _sample_psum_ref(value, loc_x.reshape(b, l * p),
+                                loc_y.reshape(b, l * p),
+                                weight.reshape(b, l * p), p)
+    lx = loc_x.reshape(b, l * p)
+    ly = loc_y.reshape(b, l * p)
+    wt = weight.reshape(b, l * p)
+    idx2, w4, _ = _geom2(value.shape, lx, ly, wt)
+    lo = jnp.asarray(ftables['lo'])
+    hi = jnp.asarray(ftables['hi'])
+    idx2_flat = idx2.reshape(1, -1)
+    in_window = jnp.all((idx2_flat[0] >= lo) & (idx2_flat[0] < hi))
+
+    def fast(_):
+        padflat = _padflat2(value, ftables['rng'], ftables['nr'])
+        out = _fwd_rdot_pallas(
+            _fwd_kernel_factory, (CH // p, c), ftables['nchunks'] * CH // p,
+            idx2_flat, w4.reshape(-1, 4), padflat, ftables, p, c)
+        return out.reshape(b, l, c)
+
+    out = jax.lax.cond(in_window, fast,
+                       lambda _: _xla_sample_f32(value, idx2, w4, p), None)
+    return out.astype(value.dtype)
 
 
 def _fwd(value, loc_x, loc_y, weight, query_grids):
@@ -295,20 +601,59 @@ def _bwd(query_grids, res, g):
     lx = loc_x.reshape(bh, s)
     ly = loc_y.reshape(bh, s)
     wt = weight.reshape(bh, s)
-    flat, idx_local, base_bh, w4, (wx, wy, ok) = _corner_data(
-        value, lx, ly, wt)
+    idx2, w4, (wx, wy, ok) = _geom2(value.shape, lx, ly, wt)
+    # patch-space (stride w+1) cell index for the d(patch) kernel/scatter
+    yi = idx2 // (w + 2)
+    xi = idx2 - yi * (w + 2)
+    idx_local = yi * (w + 1) + xi
+    base_bh = (jnp.arange(bh, dtype=jnp.int32)
+               * ((h + 1) * (w + 1)))[:, None]
     idx = (idx_local + base_bh).reshape(-1)
-
-    # --- d(loc), d(weight): recompute rows (cheap gather) instead of
-    # saving the (N, 4c) rows tensor as a residual. The c-contraction
-    # stays an elementwise mul+reduce in the rows dtype: a c=32 einsum
-    # lowers to MXU-hostile tiny matvecs and an f32 cast would
-    # materialize the 352 MB rows tensor (measured 73 ms/step) ---
-    rows = jnp.take(flat, idx, axis=0).reshape(bh, l, p, 4, c)
     g_f = g.astype(jnp.float32)
-    g_b = g.astype(rows.dtype)
-    rdot = (rows * g_b[:, :, None, None, :]).sum(-1).astype(
-        jnp.float32)                                      # (BH,L,P,4)
+
+    ftables = _fwd_visit_tables(bh, h, w, query_grids, p, CH, RNG,
+                                MARGIN_ROWS) \
+        if _eligible(c, query_grids, l) else None
+
+    def _xla_rdot(quantize):
+        # recompute rows (gather) instead of saving the (N, 4c) rows
+        # tensor as a residual (176 MB per level/layer at LSJ shapes).
+        # quantize=False keeps the historical rows-dtype contraction
+        # (an f32 cast would materialize the rows tensor — measured
+        # 73 ms/step); quantize=True mirrors the Pallas rdot kernel's
+        # exact f32 products so the two lax.cond branches agree.
+        pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        patch = jnp.concatenate([
+            pad[:, :-1, :-1], pad[:, :-1, 1:],
+            pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)
+        flat = patch.reshape(bh * (h + 1) * (w + 1), 4 * c)
+        rows = jnp.take(flat, idx, axis=0).reshape(bh, l, p, 4, c)
+        if quantize:
+            return (rows.astype(jnp.float32)
+                    * g_f[:, :, None, None, :]).sum(-1)
+        g_b = g.astype(rows.dtype)
+        return (rows * g_b[:, :, None, None, :]).sum(-1).astype(
+            jnp.float32)
+
+    if ftables is None:
+        rdot = _xla_rdot(quantize=False)                  # (BH,L,P,4)
+    else:
+        lo2 = jnp.asarray(ftables['lo'])
+        hi2 = jnp.asarray(ftables['hi'])
+        idx2_flat = idx2.reshape(1, -1)
+        in_window2 = jnp.all((idx2_flat[0] >= lo2)
+                             & (idx2_flat[0] < hi2))
+
+        def fast_rdot(_):
+            padflat = _padflat2(value, ftables['rng'], ftables['nr'])
+            out = _fwd_rdot_pallas(
+                _rdot_kernel_factory, (CH, 4),
+                ftables['nchunks'] * CH, idx2_flat,
+                g_f.reshape(bh * l, c), padflat, ftables, p, c)
+            return out.reshape(bh, l, p, 4)
+
+        rdot = jax.lax.cond(in_window2, fast_rdot,
+                            lambda _: _xla_rdot(quantize=True), None)
     wxr = wx.reshape(bh, l, p)
     wyr = wy.reshape(bh, l, p)
     okw = (ok.reshape(bh, l, p) * wt.reshape(bh, l, p)).astype(

@@ -27,8 +27,10 @@ def small_kernel_params(monkeypatch):
     monkeypatch.setattr(mp, 'MARGIN_ROWS', 2)
     monkeypatch.setattr(mp, '_FORCE_INTERPRET', True)
     mp._visit_tables.cache_clear()
+    mp._fwd_visit_tables.cache_clear()
     yield
     mp._visit_tables.cache_clear()
+    mp._fwd_visit_tables.cache_clear()
 
 
 def _inputs(rng, offset_scale):
@@ -103,6 +105,28 @@ def test_cpu_path_matches(monkeypatch):
     with the XLA scatter — must match autodiff too."""
     mp._visit_tables.cache_clear()
     _check(offset_scale=1.5)
+
+
+def test_fwd_visit_tables_and_window(small_kernel_params):
+    """The forward/rdot schedule must be eligible at the test shapes,
+    cover every sample's chunk with a window, and keep small offsets
+    inside it (so the Pallas branch — not the fallback — is what
+    test_fast_path_grads exercises)."""
+    t = mp._fwd_visit_tables(BH, H, W, GRIDS, P, mp.CH, mp.RNG,
+                             mp.MARGIN_ROWS)
+    assert t is not None
+    assert (t['hi'] > t['lo']).all()
+    # one zero-flag per chunk, chunk-ordered schedule
+    assert t['vz'].sum() == t['nchunks']
+    assert (np.diff(t['vs']) >= 0).all()
+    rng = np.random.RandomState(0)
+    value, lx, ly, wt = _inputs(rng, 0.5)
+    b, l, p = lx.shape
+    idx2, _, _ = mp._geom2(value.shape, lx.reshape(b, l * p),
+                           ly.reshape(b, l * p), wt.reshape(b, l * p))
+    flat = np.asarray(idx2).reshape(-1)
+    assert ((flat >= t['lo']) & (flat < t['hi'])).all(), \
+        'small offsets escaped the static window — fast path never runs'
 
 
 def test_visit_tables_cover_all_cells():
