@@ -154,23 +154,25 @@ def _fwd_visit_tables(bh: int, h: int, w: int,
     cell lands in exactly one visited block so outputs accumulate
     exactly once.
 
-    Index space here is the (h+2, w+2) zero-padded VALUE plane (flat
-    stride w+2) — the kernel rebuilds the 4-corner patch row from
-    shifted slices of the padded rows instead of consuming a
-    materialized (cells, 4c) patch tensor (which cost ~22 ms/step at
-    Box2Mask LSJ shapes). Returns None if shapes are ineligible.
+    Index space here is the (h+1, w+1) PATCH-ROW table (flat stride
+    w+1), the same one the d(patch) kernel scatters into: row j holds
+    the four bilinear corners [TL, TR, BL, BR] of cell j, materialized
+    by XLA as shifted dense slices of the zero-padded value. An earlier
+    revision rebuilt corner rows inside the kernel from shifted slices
+    of the padded-value plane, but Mosaic cannot lower the required
+    lane-concatenate/rotate of offset or bf16 operands (compiler crash
+    at Box2Mask LSJ shapes) — the materialized patch keeps the kernel a
+    pure one-hot MXU matmul. Returns None if shapes are ineligible.
     """
-    pw2 = w + 2
-    cells = (h + 1) * pw2 + 1          # max corner cell + 1
+    pw1 = w + 1
+    cells = (h + 1) * pw1              # patch-row count
     sizes = [gh * gw for gh, gw in query_grids]
     if ch % p or any((s * p) % ch for s in sizes):
         return None
     l_tot = sum(sizes)
     n = bh * l_tot * p
     rng_ = min(rng_, -(-cells // 128) * 128)
-    if rng_ < pw2 + 2:                 # patch slices need pw2+1 slack
-        return None
-    marg = marg_rows * pw2
+    marg = marg_rows * pw1
     nr = -(-cells // rng_)
 
     bases = []
@@ -182,7 +184,7 @@ def _fwd_visit_tables(bh: int, h: int, w: int,
             - np.float32(0.5)
         py = np.floor(ry).astype(np.int64) + 1
         px = np.floor(rx).astype(np.int64) + 1
-        bases.append((py * pw2 + px).reshape(-1))
+        bases.append((py * pw1 + px).reshape(-1))
     a_off = np.cumsum([0] + sizes)
 
     nchunks = n // ch
@@ -210,17 +212,14 @@ def _fwd_visit_tables(bh: int, h: int, w: int,
         vs=np.asarray(vs, np.int32), vr=np.asarray(vr, np.int32),
         vz=np.asarray(vz, np.int32), vbh=np.asarray(vbh, np.int32),
         lo=lo_s.astype(np.int32), hi=hi_s.astype(np.int32),
-        nr=nr, rng=rng_, cells=cells, nchunks=nchunks, pw2=pw2)
+        nr=nr, rng=rng_, cells=cells, nchunks=nchunks)
 
 
 def _geom2(value_shape, loc_x, loc_y, weight):
-    """Per-sample geometry in the PADDED-VALUE index space (flat stride
-    w+2, matching ``_fwd_visit_tables``): top-left corner cell index,
-    f32 corner weights (ok & attention folded), and the raw (wx, wy, ok)
-    pieces the VJP needs. No patch/flat tensor is built here — the
-    kernels reconstruct corner rows from shifted slices on chip, and
-    the XLA fallbacks build their gather table inside their own
-    ``lax.cond`` branch so the hot path never pays for it."""
+    """Per-sample geometry in the PATCH-ROW index space (flat stride
+    w+1, matching ``_fwd_visit_tables`` and the d(patch) kernel):
+    top-left cell index, f32 corner weights (ok & attention folded),
+    and the raw (wx, wy, ok) pieces the VJP needs."""
     _, h, w, _ = value_shape
     x = loc_x * w - 0.5
     y = loc_y * h - 0.5
@@ -231,37 +230,32 @@ def _geom2(value_shape, loc_x, loc_y, weight):
     ok = ((x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1))
     xi = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
     yi = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
-    idx2 = yi * (w + 2) + xi                             # (BH, S)
+    idxp = yi * (w + 1) + xi                             # (BH, S)
     w4 = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
                     wy * (1 - wx), wy * wx], axis=-1)    # (BH, S, 4)
     w4 = (w4 * (ok * weight)[..., None]).astype(jnp.float32)
-    return idx2, w4, (wx, wy, ok)
+    return idxp, w4, (wx, wy, ok)
 
 
-def _padflat2(value, rng_, nr):
-    """(BH, H, W, c) -> (BH, (nr+1)*rng_, c) zero-padded flat plane of
-    the (h+2, w+2) padded value (one extra rng_ block so the kernel can
-    always load blocks r and r+1)."""
+def _patchflat(value, rng_, nr):
+    """(BH, H, W, c) -> (BH, nr*rng_, 4c) materialized bilinear patch
+    rows [TL, TR, BL, BR] per (h+1, w+1) cell, zero-padded to the block
+    grid — dense XLA slices of the padded value, built INSIDE the fast
+    branch of the dispatch cond so the fallback never pays for it."""
     b, h, w, c = value.shape
     pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    flat = pad.reshape(b, (h + 2) * (w + 2), c)
-    extra = (nr + 1) * rng_ - flat.shape[1]
+    patch = jnp.concatenate([
+        pad[:, :-1, :-1], pad[:, :-1, 1:],
+        pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)
+    flat = patch.reshape(b, (h + 1) * (w + 1), 4 * c)
+    extra = nr * rng_ - flat.shape[1]
     return jnp.pad(flat, ((0, 0), (0, extra), (0, 0)))
 
 
-def _patch_block_from_rows(rows, rng_, pw2, c):
-    """(2*rng_, c) padded-value rows starting at a block boundary ->
-    (rng_, 4c) bilinear patch rows [top-left, top-right, bottom-left,
-    bottom-right] via static shifted slices."""
-    return jnp.concatenate(
-        [rows[0:rng_], rows[1:rng_ + 1],
-         rows[pw2:pw2 + rng_], rows[pw2 + 1:pw2 + 1 + rng_]], axis=1)
-
-
-def _fwd_kernel_factory(rng_, ch, p, c, pw2):
+def _fwd_kernel_factory(rng_, ch, p, c):
     from jax.experimental import pallas as pl
 
-    def kernel(vs_r, vr_r, vz_r, vbh_r, idx_s, w_s, padA, padB, out_ref):
+    def kernel(vs_r, vr_r, vz_r, vbh_r, idx_s, w_s, patch_r, out_ref):
         v = pl.program_id(0)
 
         @pl.when(vz_r[v] == 1)
@@ -272,8 +266,7 @@ def _fwd_kernel_factory(rng_, ch, p, c, pw2):
 
         @pl.when(jnp.any((rel >= 0) & (rel < rng_)))
         def _():
-            rows = jnp.concatenate([padA[0], padB[0]], axis=0)
-            patch = _patch_block_from_rows(rows, rng_, pw2, c)
+            patch = patch_r[0]                             # (rng_, 4c)
             # one-hot row pick: exact regardless of dtype (each output
             # element is a single patch value, f32-accumulated)
             oh = (rel[:, None] == jax.lax.broadcasted_iota(
@@ -296,10 +289,10 @@ def _fwd_kernel_factory(rng_, ch, p, c, pw2):
     return kernel
 
 
-def _rdot_kernel_factory(rng_, ch, p, c, pw2):
+def _rdot_kernel_factory(rng_, ch, p, c):
     from jax.experimental import pallas as pl
 
-    def kernel(vs_r, vr_r, vz_r, vbh_r, idx_s, g_s, padA, padB, out_ref):
+    def kernel(vs_r, vr_r, vz_r, vbh_r, idx_s, g_s, patch_r, out_ref):
         v = pl.program_id(0)
 
         @pl.when(vz_r[v] == 1)
@@ -310,8 +303,7 @@ def _rdot_kernel_factory(rng_, ch, p, c, pw2):
 
         @pl.when(jnp.any((rel >= 0) & (rel < rng_)))
         def _():
-            rows = jnp.concatenate([padA[0], padB[0]], axis=0)
-            patch = _patch_block_from_rows(rows, rng_, pw2, c)
+            patch = patch_r[0]                             # (rng_, 4c)
             oh = (rel[:, None] == jax.lax.broadcasted_iota(
                 jnp.int32, (ch, rng_), 1)).astype(patch.dtype)
             vals = jax.lax.dot_general(
@@ -326,29 +318,33 @@ def _rdot_kernel_factory(rng_, ch, p, c, pw2):
                 g_s[:].astype(jnp.float32),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)        # (ch, c)
-            out_ref[:] += jnp.concatenate(
-                [jnp.sum(vals[:, k * c:(k + 1) * c] * g_rep, axis=1,
-                         keepdims=True) for k in range(4)],
-                axis=1)                                    # (ch, 4)
+            # assemble (ch, 4) without a lane-concatenate (see
+            # _patch_block_from_rows): broadcast each corner's scalar
+            # column against a 0/1 lane mask and add
+            col = jax.lax.broadcasted_iota(jnp.int32, (ch, 4), 1)
+            out_ref[:] += sum(
+                jnp.sum(vals[:, k * c:(k + 1) * c] * g_rep, axis=1,
+                        keepdims=True) * (col == k).astype(jnp.float32)
+                for k in range(4))                         # (ch, 4)
 
     return kernel
 
 
-def _fwd_rdot_pallas(kernel_factory, out_block, out_rows, idx2_flat,
-                     aux_flat, padflat, tables, p, c):
+def _fwd_rdot_pallas(kernel_factory, out_block, out_rows, idxp_flat,
+                     aux_flat, patchflat, tables, p, c):
     """Shared pallas_call driver for the fwd-sampling and rdot kernels.
 
-    idx2_flat: (1, N) i32 padded-plane cells; aux_flat: (N, 4) f32 w4
-    (fwd) or (N//p, c) f32 grad rows (rdot); padflat: (BH, (nr+1)*rng,
-    c). Returns (nchunks*out_block0, out_block1) f32.
+    idxp_flat: (1, N) i32 patch-row cells; aux_flat: (N, 4) f32 w4
+    (fwd) or (N//p, c) f32 grad rows (rdot); patchflat: (BH, nr*rng,
+    4c). Returns (nchunks*out_block0, out_block1) f32.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rng_ = tables['rng']
     nv = tables['vs'].shape[0]
-    kernel = kernel_factory(rng_, CH, p, c, tables['pw2'])
-    if aux_flat.shape[0] == idx2_flat.shape[1]:      # (N, 4) w4
+    kernel = kernel_factory(rng_, CH, p, c)
+    if aux_flat.shape[0] == idxp_flat.shape[1]:      # (N, 4) w4
         aux_spec = pl.BlockSpec((CH, 4), lambda v, vs, vr, vz, vbh:
                                 (vs[v], 0), memory_space=pltpu.VMEM)
     else:                                            # (N//p, c) grads
@@ -361,10 +357,8 @@ def _fwd_rdot_pallas(kernel_factory, out_block, out_rows, idx2_flat,
             pl.BlockSpec((1, CH), lambda v, vs, vr, vz, vbh:
                          (0, vs[v]), memory_space=pltpu.VMEM),
             aux_spec,
-            pl.BlockSpec((1, rng_, c), lambda v, vs, vr, vz, vbh:
+            pl.BlockSpec((1, rng_, 4 * c), lambda v, vs, vr, vz, vbh:
                          (vbh[v], vr[v], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rng_, c), lambda v, vs, vr, vz, vbh:
-                         (vbh[v], vr[v] + 1, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (out_block[0], out_block[1]), lambda v, vs, vr, vz, vbh:
@@ -378,11 +372,12 @@ def _fwd_rdot_pallas(kernel_factory, out_block, out_rows, idx2_flat,
         interpret=_FORCE_INTERPRET,
     )(jnp.asarray(tables['vs']), jnp.asarray(tables['vr']),
       jnp.asarray(tables['vz']), jnp.asarray(tables['vbh']),
-      idx2_flat, aux_flat, padflat, padflat)
+      idxp_flat, aux_flat, patchflat)
 
 
 def _dpatch_kernel_factory(rng_, ch, p, d):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     def kernel(vk_r, vs_r, vb_r, vz_r, idx_s, w_s, g_s, out_ref):
         v = pl.program_id(0)
@@ -417,9 +412,15 @@ def _dpatch_kernel_factory(rng_, ch, p, d):
                 g_s[:].astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)        # (ch, d)
-            u_t = jnp.concatenate(
-                [w_s[:, c:c + 1] * g_rep for c in range(4)],
-                axis=1)                                    # (ch, 4d)
+            # (ch, 4d) without a lane-concatenate (Mosaic cannot lower
+            # tpu.concatenate of offset-layout operands at these
+            # shapes; see _patch_block_from_rows): repeat + lane mask
+            lane4 = jax.lax.broadcasted_iota(
+                jnp.int32, (ch, 4 * d), 1) // d
+            u_t = sum(
+                pltpu.repeat(w_s[:, k:k + 1] * g_rep, 4, 1)
+                * (lane4 == k).astype(jnp.float32)
+                for k in range(4))                         # (ch, 4d)
             oh_t = (rel[None, :] == jax.lax.broadcasted_iota(
                 jnp.int32, (rng_, ch), 0)).astype(jnp.bfloat16)
             out_ref[0] += jax.lax.dot_general(
@@ -531,26 +532,22 @@ def _eligible(c, query_grids, l):
         and sum(gh * gw for gh, gw in query_grids) == l
 
 
-def _xla_sample_f32(value, idx2, w4, p):
+def _xla_sample_f32(value, idxp, w4, p):
     """XLA forward with f32 accumulation — the exact-math twin of the
     Pallas forward kernel, used as its out-of-window ``lax.cond``
     fallback (identical products & summation order, so one escaped
     offset cannot shift numerics call-wide). The patch/gather table is
-    built HERE, inside the branch, so the hot path never materializes
-    it."""
+    built HERE, inside the branch, so the hot path never gathers it."""
     b, h, w, c = value.shape
-    s = idx2.shape[1]
+    s = idxp.shape[1]
     pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
     patch = jnp.concatenate([
         pad[:, :-1, :-1], pad[:, :-1, 1:],
         pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)
     flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
-    # idx2 is in (h+2, w+2)-stride space; convert to patch (h+1, w+1)
-    yi = idx2 // (w + 2)
-    xi = idx2 - yi * (w + 2)
     base_bh = (jnp.arange(b, dtype=jnp.int32)
                * ((h + 1) * (w + 1)))[:, None]
-    idx = (yi * (w + 1) + xi + base_bh).reshape(-1)
+    idx = (idxp + base_bh).reshape(-1)
     rows = jnp.take(flat, idx, axis=0).reshape(b, s, 4, c)
     out = (rows.astype(jnp.float32) * w4[..., None]).sum(axis=2)
     return out.reshape(b, s // p, p, c).sum(axis=2)     # f32
@@ -570,21 +567,21 @@ def _msda_sample_psum(value, loc_x, loc_y, weight, query_grids):
     lx = loc_x.reshape(b, l * p)
     ly = loc_y.reshape(b, l * p)
     wt = weight.reshape(b, l * p)
-    idx2, w4, _ = _geom2(value.shape, lx, ly, wt)
+    idxp, w4, _ = _geom2(value.shape, lx, ly, wt)
     lo = jnp.asarray(ftables['lo'])
     hi = jnp.asarray(ftables['hi'])
-    idx2_flat = idx2.reshape(1, -1)
-    in_window = jnp.all((idx2_flat[0] >= lo) & (idx2_flat[0] < hi))
+    idxp_flat = idxp.reshape(1, -1)
+    in_window = jnp.all((idxp_flat[0] >= lo) & (idxp_flat[0] < hi))
 
     def fast(_):
-        padflat = _padflat2(value, ftables['rng'], ftables['nr'])
+        patchflat = _patchflat(value, ftables['rng'], ftables['nr'])
         out = _fwd_rdot_pallas(
             _fwd_kernel_factory, (CH // p, c), ftables['nchunks'] * CH // p,
-            idx2_flat, w4.reshape(-1, 4), padflat, ftables, p, c)
+            idxp_flat, w4.reshape(-1, 4), patchflat, ftables, p, c)
         return out.reshape(b, l, c)
 
     out = jax.lax.cond(in_window, fast,
-                       lambda _: _xla_sample_f32(value, idx2, w4, p), None)
+                       lambda _: _xla_sample_f32(value, idxp, w4, p), None)
     return out.astype(value.dtype)
 
 
@@ -601,14 +598,10 @@ def _bwd(query_grids, res, g):
     lx = loc_x.reshape(bh, s)
     ly = loc_y.reshape(bh, s)
     wt = weight.reshape(bh, s)
-    idx2, w4, (wx, wy, ok) = _geom2(value.shape, lx, ly, wt)
-    # patch-space (stride w+1) cell index for the d(patch) kernel/scatter
-    yi = idx2 // (w + 2)
-    xi = idx2 - yi * (w + 2)
-    idx_local = yi * (w + 1) + xi
+    idxp, w4, (wx, wy, ok) = _geom2(value.shape, lx, ly, wt)
     base_bh = (jnp.arange(bh, dtype=jnp.int32)
                * ((h + 1) * (w + 1)))[:, None]
-    idx = (idx_local + base_bh).reshape(-1)
+    idx = (idxp + base_bh).reshape(-1)
     g_f = g.astype(jnp.float32)
 
     ftables = _fwd_visit_tables(bh, h, w, query_grids, p, CH, RNG,
@@ -640,16 +633,16 @@ def _bwd(query_grids, res, g):
     else:
         lo2 = jnp.asarray(ftables['lo'])
         hi2 = jnp.asarray(ftables['hi'])
-        idx2_flat = idx2.reshape(1, -1)
-        in_window2 = jnp.all((idx2_flat[0] >= lo2)
-                             & (idx2_flat[0] < hi2))
+        idxp_flat = idxp.reshape(1, -1)
+        in_window2 = jnp.all((idxp_flat[0] >= lo2)
+                             & (idxp_flat[0] < hi2))
 
         def fast_rdot(_):
-            padflat = _padflat2(value, ftables['rng'], ftables['nr'])
+            patchflat = _patchflat(value, ftables['rng'], ftables['nr'])
             out = _fwd_rdot_pallas(
                 _rdot_kernel_factory, (CH, 4),
-                ftables['nchunks'] * CH, idx2_flat,
-                g_f.reshape(bh * l, c), padflat, ftables, p, c)
+                ftables['nchunks'] * CH, idxp_flat,
+                g_f.reshape(bh * l, c), patchflat, ftables, p, c)
             return out.reshape(bh, l, p, 4)
 
         rdot = jax.lax.cond(in_window2, fast_rdot,
@@ -695,7 +688,7 @@ def _bwd(query_grids, res, g):
         d_patch = xla_dpatch(None)
     else:
         # every fast-path operand is a pure reshape — zero repacking
-        idx_flat = idx_local.reshape(1, bh * s)
+        idx_flat = idxp.reshape(1, bh * s)
         w4_flat = w4.reshape(bh * s, 4).astype(jnp.float32)
         g_flat = g_f.reshape(bh * l, c)
         lo = jnp.asarray(tables['lo'])
