@@ -348,32 +348,54 @@ def root_tree_euler_batched(chosen: jnp.ndarray, h: int, w: int,
     # each per-tree list holds at most 2(n-1) valid arcs
     rounds = max(int(np.ceil(np.log2(max(2 * n, 2)))), 1)
 
-    def suffix_count(vals):
-        """S(a) = sum of vals over the list from a to the end, inclusive.
+    # ---- compact the tour before Wyllie ranking: the doubling rounds
+    # pay per ROW (~6 ns/row) and only 2(n-1) of the 4n arc slots per
+    # graph are real tour arcs, so ranking the compact list halves every
+    # round's gather. Compact positions are the exclusive cumsum of
+    # validity (dense); the SUCCESSOR's position is read through the
+    # same shifted-slice neighbor planes that built succ itself (no
+    # gather); one scatter lays out the compact next-pointer table and
+    # one gather maps ranks back to arc slots at the end. Net at
+    # BoxLevelset bench shapes (2B=8 trees of 96^2): ~15 rounds x 147k
+    # saved rows for ~2 x 295k setup rows.
+    lc = 2 * bsz * (n - 1)       # grid MSTs span: exactly n-1 edges/graph
+    vi = valid_f.astype(jnp.int32)
+    pos = jnp.cumsum(vi) - vi                            # exclusive
+    pos4 = pos.reshape(bsz, h, w, 4)
+    pos_succ = jnp.stack([
+        sum(jnp.where(succ_slot[..., s] == k,
+                      _at_neighbor(pos4[..., k], s, 0), 0)
+            for k in range(4))
+        for s in range(4)], axis=-1).reshape(-1)         # pos[succ(a)]
+    is_end = (nxt == ids)        # cut arc (or invalid self-loop)
+    pn = jnp.where(is_end, lc, pos_succ)
+    tgt_c = jnp.where(valid_f, pos, lc)
+    nxtc = jnp.full((lc + 1,), lc, jnp.int32).at[tgt_c].set(
+        jnp.where(valid_f, pn, lc))[:lc]
 
-        Wyllie pointer doubling with the (value, pointer) pair PACKED
-        into one two-column table + a zero sentinel row: each round is
-        ONE width-2 row-gather instead of three width-1 gathers — TPU
-        gathers pay per ROW (~6 ns), so this third-ed the dominant cost
-        of the rooting (profiled 148 -> ~30 ms/step at BoxLevelset b4).
-        List-end/dead arcs point at the sentinel, whose row (0, SENT) is
-        a fixed point, replacing the alive mask exactly."""
-        sent = n4
-        q0 = jnp.where((nxt == ids), sent, nxt)
+    def suffix_count_compact(vals):
+        """S(a) = sum of vals over the compact list from a to the end,
+        inclusive. Wyllie pointer doubling with the (value, pointer)
+        pair PACKED into one two-column table + a zero sentinel row:
+        each round is ONE width-2 row-gather. List ends point at the
+        sentinel, whose row (0, SENT) is a fixed point."""
 
         def body(carry, _):
             s, q = carry
             t = jnp.concatenate(
-                [jnp.append(s, 0)[:, None], jnp.append(q, sent)[:, None]],
-                axis=1)                                  # (n4+1, 2)
+                [jnp.append(s, 0)[:, None], jnp.append(q, lc)[:, None]],
+                axis=1)                                  # (lc+1, 2)
             g = t[q]                                     # ONE row-gather
             return (s + g[:, 0], g[:, 1]), None
 
-        (s, _), _ = jax.lax.scan(body, (vals, q0), None, length=rounds)
+        (s, _), _ = jax.lax.scan(body, (vals, nxtc), None, length=rounds)
         return s
 
-    # pass 1: d(a) = #arcs from a to the end (inclusive) -> order compare
-    d = suffix_count(jnp.where(valid_f, 1, 0).astype(jnp.int32))
+    # pass 1: d(a) = #arcs from a to the end (inclusive) -> order
+    # compare; rank in compact space, map back to arc slots (invalid
+    # slots keep d = 0, matching the old all-arcs formulation)
+    d_c = suffix_count_compact(jnp.ones((lc,), jnp.int32))
+    d = jnp.append(d_c, 0)[tgt_c]
     # a is the FIRST traversal of its edge iff it comes earlier than its
     # twin, i.e. has the longer suffix. twin(a=(u,s)) = (v, twin_slot[s]):
     # its rank is a shifted slice of the twin-slot rank plane.
