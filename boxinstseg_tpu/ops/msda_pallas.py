@@ -23,8 +23,9 @@ windowed one-hot-matmul Pallas kernel:
   38 ms/step materializing packed operands).
 * Each kernel visit loads one sample chunk (contiguous — no gather!)
   and accumulates ``one_hot(cell)^T @ (w4 x g)`` into the range's
-  (RNG, 4c) block on the MXU. ~5 ms vs ~11.5 ms for the XLA scatter at
-  level-0 shapes (measured, v5e).
+  (RNG, 4c) block on the MXU. End-to-end on a real v5e this cuts the
+  Box2Mask R50 LSJ b1 step 555 -> 470 ms vs the XLA scatter (see
+  ``_MODE`` below for the full all/off/dvalue comparison).
 * EXACTNESS: a sample whose offset exceeds the static window margin
   cannot be handled by its runs. The wrapper checks this per call
   (elementwise compare vs static bounds) and `lax.cond`-falls back to
@@ -33,14 +34,16 @@ windowed one-hot-matmul Pallas kernel:
   offsets start at <= num_points+1 cells, and for typically-trained
   offsets).
 
-Forward stays in XLA (flat patch row-gathers are already near the
-gather row-count floor). The custom VJP recomputes the gathered rows in
-the backward instead of saving them: at LSJ shapes that residual was
-176 MB per (level, layer).
+Forward and the backward rdot default to XLA (flat patch row-gathers
+are already near the gather row-count floor; the opt-in one-hot-matmul
+kernels for them measured slower — see ``_MODE``). The custom VJP
+recomputes the gathered rows in the backward instead of saving them:
+at LSJ shapes that residual was 176 MB per (level, layer).
 """
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -54,6 +57,19 @@ RNG = 768           # target cells per output block
 MARGIN_ROWS = 8     # static offset window, in target-level rows
 
 _FORCE_INTERPRET = False   # tests flip this to run the kernel on CPU
+
+# Which fast paths run on TPU (env MSDA_PALLAS):
+#   'all'    — fwd + rdot + d(patch) Pallas kernels
+#   'dvalue' — only the d(patch) kernel; fwd/rdot stay XLA gathers
+#   'off'    — pure XLA everywhere
+# Default chosen by end-to-end Box2Mask R50 LSJ b1 step time on a real
+# v5e (steady-state, state-threaded timing; max_matched=100 recipe):
+#   all 668 ms | off 555 ms | dvalue 470 ms.
+# d(patch) replaces XLA's serialized scatter-add (a real ~85 ms win);
+# the fwd/rdot one-hot-matmul kernels move ~4x the useful bytes per
+# sample and lose ~200 ms to XLA's native gathers, so they are opt-in
+# only (kept exact-tested for future Mosaic gather support).
+_MODE = os.environ.get('MSDA_PALLAS', 'dvalue')
 
 
 def _on_tpu() -> bool:
@@ -394,10 +410,9 @@ def _dpatch_kernel_factory(rng_, ch, p, d):
         # cell blocks — but ACTUAL offsets are tiny (<= 1-2 cells at
         # init and for typically-trained weights), leaving most margin
         # visits with zero in-block samples. Predicating the two MXU
-        # matmuls on a dynamic hit test cuts the kernel's dominant cost
-        # (the one-hot matmuls: ~85 -> ~35 ms/step at Box2Mask LSJ
-        # shapes) while staying exact: skipped visits contribute only
-        # zeros.
+        # matmuls on a dynamic hit test skips the kernel's dominant
+        # cost (the one-hot matmuls) on those visits while staying
+        # exact: skipped visits contribute only zeros.
         @pl.when(jnp.any((rel >= 0) & (rel < rng_)))
         def _():
             # per-sample grad rows: repeat each query's g for its p
@@ -528,7 +543,10 @@ def msda_sample_psum(value, loc_x, loc_y, weight,
 
 
 def _eligible(c, query_grids, l):
-    return (c % 32 == 0) and (_on_tpu() or _FORCE_INTERPRET) \
+    """Gate for the fwd/rdot kernels (mode 'all' only)."""
+    mode_ok = _MODE == 'all' or _FORCE_INTERPRET
+    return mode_ok and (c % 32 == 0) \
+        and (_on_tpu() or _FORCE_INTERPRET) \
         and sum(gh * gw for gh, gw in query_grids) == l
 
 
@@ -664,7 +682,8 @@ def _bwd(query_grids, res, g):
 
     # --- d(value) via d(patch) ---
     # g at sample granularity: u_row(sample) = w4 (x) g[query]
-    eligible = (c % 32 == 0) and (_on_tpu() or _FORCE_INTERPRET) \
+    eligible = (_MODE in ('all', 'dvalue') or _FORCE_INTERPRET) \
+        and (c % 32 == 0) and (_on_tpu() or _FORCE_INTERPRET) \
         and sum(gh * gw for gh, gw in query_grids) == l
     tables = _visit_tables(bh, h, w, query_grids, p, CH, RNG,
                            MARGIN_ROWS) if eligible else None
