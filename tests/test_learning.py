@@ -24,7 +24,13 @@ NUM_CLASSES = 3
 COLORS = [(210, 40, 40), (40, 210, 40), (40, 40, 210)]
 
 
-def make_dataset(root, n_images=8, seed=0):
+def make_dataset(root, n_images=8, seed=0, overlap=True):
+    """Painted-rectangles COCO set. ``overlap=False`` rejection-samples
+    boxes so no two overlap: later paint overwrites earlier pixels, so
+    an occluded object's visible region contradicts its box-shaped
+    Chan-Vese homogeneity target — BoxLevelset's gate uses fully
+    visible objects (the level-set energy's own operating assumption);
+    the other families keep the harder overlapping layout."""
     import cv2
     rng = np.random.RandomState(seed)
     img_dir = os.path.join(root, 'images')
@@ -33,11 +39,21 @@ def make_dataset(root, n_images=8, seed=0):
     aid = 1
     for i in range(n_images):
         img = rng.randint(0, 160, (H, W, 3)).astype(np.uint8)
+        placed = []
         for _ in range(rng.randint(1, 4)):
-            x1 = int(rng.randint(0, W - 48))
-            y1 = int(rng.randint(0, H - 48))
-            w = int(rng.randint(24, 48))
-            h = int(rng.randint(24, 48))
+            for _try in range(20):
+                x1 = int(rng.randint(0, W - 48))
+                y1 = int(rng.randint(0, H - 48))
+                w = int(rng.randint(24, 48))
+                h = int(rng.randint(24, 48))
+                if overlap or all(
+                        x1 + w <= px or px + pw <= x1
+                        or y1 + h <= py or py + ph <= y1
+                        for (px, py, pw, ph) in placed):
+                    break
+            else:
+                continue
+            placed.append((x1, y1, w, h))
             cls = int(rng.randint(0, NUM_CLASSES))
             base = np.array(COLORS[cls])
             jit = rng.randint(-20, 20, 3)

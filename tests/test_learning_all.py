@@ -1,0 +1,163 @@
+"""Learning tests (accuracy-parity gates) for the three non-BoxInst
+families: tiny DiscoBox, BoxLevelset and Box2Mask trained from scratch
+on painted rectangles must actually LEARN instance masks — COCO-protocol
+segm mAP over a nontrivial threshold — through the full config -> data
+(GenerateBoxMask) -> assignment -> loss -> optimizer -> predict -> RLE
+-> COCOeval stack. This extends the trust chain test_learning.py built
+for BoxInst to every method family. Reference oracle: each method's
+model-zoo mask-AP row (/root/reference/README.md:46-53; BoxLevelset
+ships configs without a zoo row).
+
+Thresholds are calibrated on this harness (8-device CPU mesh, seed 0)
+with ~2x margin; see each test's docstring for the measured values.
+"""
+import numpy as np
+import pytest
+
+import boxinstseg_tpu  # noqa: F401
+from boxinstseg_tpu.config import Config
+
+from test_learning import make_dataset, H, W, NUM_CLASSES
+
+
+def _train_and_eval(tmp_path, mcfg, optimizer, optimizer_config,
+                    max_iters, warmup_iters=20, extra_cfg=None,
+                    eval_batch=2, overlap=True):
+    from boxinstseg_tpu.registry import build_dataset, build_detector
+    from boxinstseg_tpu.apis.train import train_detector
+    from boxinstseg_tpu.apis.test import run_evaluation
+
+    ann_file, img_dir = make_dataset(str(tmp_path), overlap=overlap)
+    img_norm = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_rgb=True)
+    pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True, with_mask=False),
+        dict(type='GenerateBoxMask'),
+        dict(type='Resize', img_scale=(W, H), keep_ratio=True),
+        dict(type='RandomFlip', flip_ratio=0.5),
+        dict(type='Normalize', **img_norm),
+        dict(type='Pad', size_divisor=32),
+        dict(type='Collect',
+             keys=['img', 'gt_bboxes', 'gt_labels', 'gt_masks']),
+    ]
+    test_pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=(W, H), flip=False,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='RandomFlip'),
+                 dict(type='Normalize', **img_norm),
+                 dict(type='Pad', size_divisor=32),
+                 dict(type='Collect', keys=['img']),
+             ])]
+    classes = tuple(f'cls{c}' for c in range(NUM_CLASSES))
+    cfg_dict = dict(
+        model=mcfg,
+        data=dict(samples_per_gpu=1, workers_per_gpu=1,
+                  train=dict(type='CocoDataset', ann_file=ann_file,
+                             img_prefix=img_dir, pipeline=pipeline,
+                             classes=classes),
+                  test=dict(type='CocoDataset', ann_file=ann_file,
+                            img_prefix=img_dir, pipeline=test_pipeline,
+                            classes=classes)),
+        with_gt_masks=True,
+        optimizer=optimizer,
+        optimizer_config=optimizer_config,
+        lr_config=dict(policy='step', warmup='linear',
+                       warmup_iters=warmup_iters, warmup_ratio=0.1,
+                       step=[10000]),
+        runner=dict(type='IterBasedRunner', max_iters=max_iters),
+        checkpoint_config=dict(interval=100000),
+        log_config=dict(interval=50),
+        canvases=[(H, W)], max_gts=8, seed=0,
+        work_dir=str(tmp_path / 'work'),
+    )
+    cfg_dict.update(extra_cfg or {})
+    cfg = Config.fromdict(cfg_dict)
+
+    model = build_detector(cfg.model.copy())
+    dataset = build_dataset(cfg.data['train'])
+    state = train_detector(model, dataset, cfg)
+
+    test_ds = build_dataset({**cfg.data['test'], 'test_mode': True})
+    metrics = run_evaluation(model, state.variables(), test_ds, cfg,
+                             metrics=['segm'], batch_size=eval_batch)
+    print('metrics:', metrics)
+    return metrics
+
+
+def test_boxlevelset_learns_masks_from_boxes(tmp_path):
+    """BoxSOLOv2Head: grid assignment + BoxProjectionLoss + Chan-Vese
+    levelset on image & tree-filtered features -> matrix NMS predict.
+
+    Non-overlapping objects (overlap=False): painted-over rectangles
+    contradict the level-set region-homogeneity targets, which is a
+    data pathology, not a capability gap (with overlaps the stack still
+    finds every fully visible object but plateaus at mAP50 ~0.45).
+    max_pos is raised from the tiny default 8 (which silently dropped
+    later objects' positive cells — capacity is filled in cell order).
+    Calibration (seed 0, 200 iters, global batch 8): segm mAP 0.542 /
+    mAP50 0.904."""
+    from test_boxlevelset_model import tiny_cfg
+
+    mcfg = tiny_cfg()
+    mcfg['bbox_head']['num_classes'] = NUM_CLASSES
+    mcfg['bbox_head']['max_pos'] = 64
+    mcfg['test_cfg']['score_thr'] = 0.1
+    metrics = _train_and_eval(
+        tmp_path, mcfg,
+        optimizer=dict(type='SGD', lr=0.01, momentum=0.9,
+                       weight_decay=1e-4),
+        optimizer_config=dict(grad_clip=dict(max_norm=35)),
+        max_iters=200, overlap=False)
+    assert metrics['segm_mAP_50'] >= 0.5, metrics
+    assert metrics['segm_mAP'] >= 0.27, metrics
+
+
+def test_discobox_learns_masks_from_boxes(tmp_path):
+    """DiscoBoxSOLOv2Head through the TS detector: MIL projection loss,
+    then the mean-field CRF pseudo-label + EMA-teacher dice loss after
+    the gate opens mid-run — the full shipped stack minus the
+    correspondence bank (whose shipped min_size filter excludes these
+    tiny objects by design). Calibration (seed 0, 200 iters, TS gate at
+    100, global batch 8): segm mAP 0.736 / mAP50 0.939."""
+    from test_discobox_model import tiny_cfg
+
+    mcfg = tiny_cfg()
+    mcfg['bbox_head']['num_classes'] = NUM_CLASSES
+    mcfg['test_cfg']['score_thr'] = 0.1
+    metrics = _train_and_eval(
+        tmp_path, mcfg,
+        optimizer=dict(type='SGD', lr=0.01, momentum=0.9,
+                       weight_decay=1e-4),
+        optimizer_config=dict(grad_clip=dict(max_norm=35)),
+        max_iters=200,
+        extra_cfg=dict(
+            # open the teacher-student path for the second half of the
+            # run (production: iter 13k + avg_loss_ins < 0.3)
+            ts_cfg=dict(momentum=0.99, start_iter=100, ts_thresh=10.0,
+                        corr_thresh=-1.0)))
+    assert metrics['segm_mAP_50'] >= 0.5, metrics
+    assert metrics['segm_mAP'] >= 0.3, metrics
+
+
+def test_box2mask_learns_masks_from_boxes(tmp_path):
+    """Box2MaskHead: pixel decoder + masked-attention transformer
+    decoder + Hungarian matching + deep-supervised projection/levelset
+    losses -> MaskFormerFusionHead instance post-proc. Calibration
+    (seed 0, 300 iters AdamW, global batch 8): segm mAP 0.726 /
+    mAP50 0.855."""
+    from test_box2mask_model import tiny_cfg
+
+    mcfg = tiny_cfg()
+    mcfg['panoptic_head']['num_things_classes'] = NUM_CLASSES
+    mcfg['panoptic_head']['loss_cls']['class_weight'] = \
+        [1.0] * NUM_CLASSES + [0.1]
+    metrics = _train_and_eval(
+        tmp_path, mcfg,
+        optimizer=dict(type='AdamW', lr=2e-4, weight_decay=0.05),
+        optimizer_config=dict(grad_clip=dict(max_norm=0.1)),
+        max_iters=300, warmup_iters=10)
+    assert metrics['segm_mAP_50'] >= 0.4, metrics
+    assert metrics['segm_mAP'] >= 0.25, metrics
