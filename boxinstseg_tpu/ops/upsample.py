@@ -115,27 +115,47 @@ def interpolate_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False
         if (h, w) == (oh, ow):
             return x
 
-    def axis_coords(n_in, n_out):
-        out = jnp.arange(n_out, dtype=jnp.float32)
-        if align_corners:
-            scale = (n_in - 1) / max(n_out - 1, 1)
-            return out * scale
-        scale = n_in / n_out
-        return jnp.clip((out + 0.5) * scale - 0.5, 0.0, float(n_in - 1))
-
-    def interp_axis(x, coords, axis):
-        q0 = jnp.floor(coords).astype(jnp.int32)
-        q1 = jnp.minimum(q0 + 1, x.shape[axis] - 1)
-        r = coords - q0.astype(jnp.float32)
-        shape = [1] * x.ndim
-        shape[axis] = -1
-        r = r.reshape(shape)
-        return (1.0 - r) * jnp.take(x, q0, axis=axis) + r * jnp.take(
-            x, q1, axis=axis)
-
-    x = interp_axis(x, axis_coords(h, oh), x.ndim - 3)
-    x = interp_axis(x, axis_coords(w, ow), x.ndim - 2)
+    # General (non-integer / downsample) resize: each axis is a LINEAR map
+    # with <=2 nonzeros per output row, applied as a small dense matmul.
+    # The previous jnp.take formulation was a gather whose backward is a
+    # serialized scatter on TPU (~25 ms/step of BoxLevelset's 96^2 tree
+    # inputs + stride-4 targets, profiled); the matmul runs fwd AND bwd
+    # on the MXU at trivial FLOPs. Weights are numpy compile-time
+    # constants (static shapes) with the exact clipped-coordinate math.
+    x = _resize_matmul_axis(x, oh, x.ndim - 3, align_corners)
+    x = _resize_matmul_axis(x, ow, x.ndim - 2, align_corners)
     return x
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_weight_matrix(n_in: int, n_out: int, align_corners: bool):
+    """(n_out, n_in) f32 bilinear resampling matrix (torch interpolate
+    coordinate math; rows have <=2 nonzeros summing to 1)."""
+    import numpy as np
+    out = np.arange(n_out, dtype=np.float64)
+    if align_corners:
+        coords = out * ((n_in - 1) / max(n_out - 1, 1))
+    else:
+        coords = np.clip((out + 0.5) * (n_in / n_out) - 0.5,
+                         0.0, float(n_in - 1))
+    q0 = np.floor(coords).astype(np.int64)
+    q1 = np.minimum(q0 + 1, n_in - 1)
+    r = coords - q0
+    mat = np.zeros((n_out, n_in), np.float64)
+    mat[out.astype(np.int64), q0] += 1.0 - r
+    mat[out.astype(np.int64), q1] += r
+    return mat.astype(np.float32)
+
+
+def _resize_matmul_axis(x, n_out, axis, align_corners):
+    n_in = x.shape[axis]
+    if n_in == n_out:
+        return x
+    mat = jnp.asarray(_axis_weight_matrix(n_in, n_out, align_corners))
+    moved = jnp.moveaxis(x, axis, -1)
+    y = jnp.einsum('...i,oi->...o', moved, mat,
+                   preferred_element_type=jnp.float32)
+    return jnp.moveaxis(y, -1, axis)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
