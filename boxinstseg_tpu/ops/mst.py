@@ -136,25 +136,24 @@ def boruvka_mst_batched(weights: jnp.ndarray, h: int, w: int
     ne, eg = bsz * n, bsz * e
     rounds = max(int(np.ceil(np.log2(max(n, 2)))), 1)
 
-    # The lexicographic (weight, edge-index) component argmin runs as TWO
-    # f32 scatter-mins per round — min weight, then min edge id among
-    # weight-ties — instead of precomputed int ranks: the rank setup was
-    # two stable argsorts, and jnp.argsort's int path (inverting the
-    # permutation) lowers ~200x slower than the f32 sort on TPU — 67 ms
-    # of a 92 ms build at BoxLevelset shapes (docs/tpu_performance_notes).
-    w_r = weights[:, :n_right].reshape(bsz, h, w - 1)
-    w_d = weights[:, n_right:].reshape(bsz, h - 1, w)
+    # The lexicographic (weight, edge-index) component argmin used to run
+    # as TWO dependent f32 scatter-mins per round — min weight, then min
+    # edge id among weight-ties, with a component-broadcast gather in
+    # between (~2 dependent 73k-row hops/round at BoxLevelset shapes).
+    # Precompute a UNIQUE f32 rank per edge once instead: a STABLE f32
+    # argsort orders by (weight, flat edge id) exactly, and the inverse
+    # permutation comes from a second f32 argsort of the permutation
+    # itself (values < 2^24 are f32-exact; jnp.argsort's int path lowers
+    # ~200x slower — the reason the original rank design was dropped).
+    # Each round then needs ONE scatter-min; rank -> edge id is the tiny
+    # sort permutation gather.
+    wflat = weights.reshape(-1)
+    order = jnp.argsort(wflat, stable=True)                    # rank -> eid
+    rank_of = jnp.argsort(order.astype(jnp.float32))           # eid -> rank
+    rank2 = rank_of.reshape(bsz, e).astype(jnp.float32)
+    rk_r = rank2[:, :n_right].reshape(bsz, h, w - 1)
+    rk_d = rank2[:, n_right:].reshape(bsz, h - 1, w)
     inf = jnp.float32(jnp.inf)
-    # static global edge ids as iota planes (f32 scatter-min keys stay
-    # exact: bsz * e < 2^24 at every realistic tree size)
-    bb_r = jax.lax.broadcasted_iota(jnp.int32, (bsz, h, w - 1), 0)
-    yy_r = jax.lax.broadcasted_iota(jnp.int32, (bsz, h, w - 1), 1)
-    xx_r = jax.lax.broadcasted_iota(jnp.int32, (bsz, h, w - 1), 2)
-    eid_r = (bb_r * e + yy_r * (w - 1) + xx_r).astype(jnp.float32)
-    bb_d = jax.lax.broadcasted_iota(jnp.int32, (bsz, h - 1, w), 0)
-    yy_d = jax.lax.broadcasted_iota(jnp.int32, (bsz, h - 1, w), 1)
-    xx_d = jax.lax.broadcasted_iota(jnp.int32, (bsz, h - 1, w), 2)
-    eid_d = (bb_d * e + n_right + yy_d * w + xx_d).astype(jnp.float32)
 
     nodes = jnp.arange(ne, dtype=jnp.int32)
 
@@ -165,42 +164,25 @@ def boruvka_mst_batched(weights: jnp.ndarray, h: int, w: int
         cs_d, cd_d = lbl3[:, :-1, :], lbl3[:, 1:, :]
         act_r = cs_r != cd_r
         act_d = cs_d != cd_d
-        ww_r = jnp.where(act_r, w_r, inf)
-        ww_d = jnp.where(act_d, w_d, inf)
+        rr_r = jnp.where(act_r, rk_r, inf)
+        rr_d = jnp.where(act_d, rk_d, inf)
 
-        # per-node min weight over its <=4 incident edges: padded slices
+        # per-node min RANK over its <=4 incident edges: padded slices
         pad_c = jnp.full((bsz, h, 1), inf, jnp.float32)
         pad_r = jnp.full((bsz, 1, w), inf, jnp.float32)
-        wn = jnp.minimum(
-            jnp.minimum(jnp.concatenate([ww_r, pad_c], 2),     # right slot
-                        jnp.concatenate([pad_c, ww_r], 2)),    # left slot
-            jnp.minimum(jnp.concatenate([ww_d, pad_r], 1),     # down slot
-                        jnp.concatenate([pad_r, ww_d], 1)))    # up slot
+        rn = jnp.minimum(
+            jnp.minimum(jnp.concatenate([rr_r, pad_c], 2),     # right slot
+                        jnp.concatenate([pad_c, rr_r], 2)),    # left slot
+            jnp.minimum(jnp.concatenate([rr_d, pad_r], 1),     # down slot
+                        jnp.concatenate([pad_r, rr_d], 1)))    # up slot
 
-        # phase 1: per-COMPONENT min weight, keyed by label, broadcast
-        # back to nodes (one gather)
+        # per-COMPONENT argmin edge in ONE scatter-min: ranks are unique
+        # and order exactly like (weight, edge id)
         lbl_f = lbl3.reshape(-1)
-        wmin = jnp.full((ne,), inf, jnp.float32).at[lbl_f].min(
-            wn.reshape(-1))
-        wc = wmin[lbl_f].reshape(bsz, h, w)[..., None]  # (B, H, W, 1)
-
-        # phase 2: min edge id among incident edges achieving the
-        # component min (exact f32 equality: same value propagated)
-        wc_r, wc_d = wc[..., 0][:, :, :-1], wc[..., 0][:, :-1, :]
-        wc_l, wc_u = wc[..., 0][:, :, 1:], wc[..., 0][:, 1:, :]
-        ce_r = jnp.where(act_r & (ww_r == wc_r), eid_r, inf)
-        ce_l = jnp.where(act_r & (ww_r == wc_l), eid_r, inf)
-        ce_d = jnp.where(act_d & (ww_d == wc_d), eid_d, inf)
-        ce_u = jnp.where(act_d & (ww_d == wc_u), eid_d, inf)
-        en = jnp.minimum(
-            jnp.minimum(jnp.concatenate([ce_r, pad_c], 2),
-                        jnp.concatenate([pad_c, ce_l], 2)),
-            jnp.minimum(jnp.concatenate([ce_d, pad_r], 1),
-                        jnp.concatenate([pad_r, ce_u], 1)))
-        emin = jnp.full((ne,), inf, jnp.float32).at[lbl_f].min(
-            en.reshape(-1))
-        has = jnp.isfinite(emin)
-        e_sel = jnp.where(has, emin, 0).astype(jnp.int32)  # (B*N,) edges
+        rmin = jnp.full((ne,), inf, jnp.float32).at[lbl_f].min(
+            rn.reshape(-1))
+        has = jnp.isfinite(rmin)
+        e_sel = order[jnp.where(has, rmin, 0).astype(jnp.int32)]
 
         chosen = chosen.at[e_sel].max(has)
 
