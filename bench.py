@@ -27,6 +27,20 @@ import time
 
 import numpy as np
 
+# Committed per-family throughput floors (img/s/chip, real v5e, default
+# shapes). A family reporting < (1 - BENCH_TOL) x floor gets
+# "regressed": true in its JSON line — a loud signal instead of silent
+# drift (the BoxInst headline slid 69.1 -> 66.7 over rounds 1-3 with
+# nothing failing). Update the floor in the same commit as any change
+# that legitimately shifts steady-state throughput.
+BENCH_BASELINE = {
+    'boxinst_r50_1x_train_images_per_sec_per_chip': 68.5,
+    'discobox_r50_3x_train_images_per_sec_per_chip': 15.2,
+    'boxlevelset_r50_3x_train_images_per_sec_per_chip': 17.7,
+    'box2mask_r50_50e_train_images_per_sec_per_chip': 2.14,
+}
+BENCH_TOL = 0.03
+
 FAMILIES = {
     'boxinst': dict(
         cfg='configs/boxinst/boxinst_r50_fpn_1x_coco.py',
@@ -45,6 +59,23 @@ FAMILIES = {
         batch=1, hw=(1024, 1024), masks=True, ts=False,
         metric='box2mask_r50_50e_train_images_per_sec_per_chip'),
 }
+
+
+def _peak_flops(device_kind: str) -> float:
+    """Per-chip bf16 peak FLOP/s by TPU generation (public specs)."""
+    k = device_kind.lower()
+    table = [
+        ('v6', 918e12),        # Trillium / v6e
+        ('v5p', 459e12),
+        ('v5', 197e12),        # v5e / v5 lite
+        ('v4', 275e12),
+        ('v3', 123e12),
+        ('v2', 45e12),
+    ]
+    for key, peak in table:
+        if key in k:
+            return peak
+    return 197e12              # unknown kind: assume v5e
 
 
 def _step_flops(step, state, batch):
@@ -143,13 +174,12 @@ def bench_family(family):
     img_per_sec = batch_size * iters / dt
     baseline = 8.0  # est. img/s per A100 for the 8-GPU reference run
 
-    # MFU against v5e peak (197 TFLOP/s bf16); flops from XLA cost analysis
+    # MFU against the device's bf16 peak; flops from XLA cost analysis
     flops = _step_flops(step, state, batch)
-    peak = 197e12 if 'v5' in (jax.devices()[0].device_kind or '') \
-        else 197e12
+    peak = _peak_flops(jax.devices()[0].device_kind or '')
     mfu = (flops * iters / dt) / peak if flops else 0.0
 
-    print(json.dumps({
+    rec = {
         'metric': fam['metric'],
         'value': round(img_per_sec, 3),
         'unit': 'images/sec/chip',
@@ -159,7 +189,17 @@ def bench_family(family):
         'precision': 'bf16' if use_bf16 else 'f32',
         'step_time_ms': round(1000 * dt / iters, 2),
         'mfu': round(mfu, 4),
-    }), flush=True)
+    }
+    # regression gate vs the committed floor (default shapes only — an
+    # override changes the workload, so the floor doesn't apply)
+    default_shape = (batch_size == fam['batch'] and use_bf16
+                     and not os.environ.get('BENCH_HW')
+                     and not os.environ.get('BENCH_LIVE_GTS'))
+    floor = BENCH_BASELINE.get(fam['metric'])
+    if default_shape and floor:
+        rec['floor'] = floor
+        rec['regressed'] = bool(img_per_sec < (1.0 - BENCH_TOL) * floor)
+    print(json.dumps(rec), flush=True)
 
 
 def main():
@@ -167,11 +207,20 @@ def main():
     if only:
         bench_family(only)
         return
-    # all four, headline boxinst LAST (the driver records the last line)
+    # All four families, each in a FRESH subprocess so one family's
+    # allocator state / fragmentation cannot skew another's number
+    # (round-3 ran all four in one process and the headline drifted).
+    # Headline boxinst LAST (the driver records the last line).
+    import subprocess
+    import sys
     for family in ('discobox', 'boxlevelset', 'box2mask', 'boxinst'):
-        bench_family(family)
-        import gc
-        gc.collect()
+        env = dict(os.environ, BENCH_MODEL=family)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env)
+        if r.returncode != 0:
+            print(json.dumps({'metric': f'{family}_bench', 'value': 0,
+                              'unit': 'images/sec/chip', 'error': True,
+                              'vs_baseline': 0}), flush=True)
 
 
 if __name__ == '__main__':

@@ -131,6 +131,12 @@ def boruvka_mst_batched(weights: jnp.ndarray, h: int, w: int
     src/dst/incident tables of a grid are static.
     """
     bsz, e = weights.shape
+    # the rank scheme stores rank values / sort permutations / rmin ids
+    # in f32 in three places — exact only below 2^24 (see comment below)
+    assert bsz * e < (1 << 24), (
+        f'boruvka_mst_batched: bsz*e = {bsz * e} exceeds the f32-exact '
+        f'integer range (2^24) required by the rank tables; split the '
+        f'batch')
     n = h * w
     n_right = h * (w - 1)
     ne, eg = bsz * n, bsz * e

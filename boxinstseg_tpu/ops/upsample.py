@@ -155,7 +155,9 @@ def _resize_matmul_axis(x, n_out, axis, align_corners):
     moved = jnp.moveaxis(x, axis, -1)
     y = jnp.einsum('...i,oi->...o', moved, mat,
                    preferred_element_type=jnp.float32)
-    return jnp.moveaxis(y, -1, axis)
+    # f32 accumulation, but return the input dtype so both the matmul
+    # and integer-phase paths agree on the result dtype
+    return jnp.moveaxis(y, -1, axis).astype(x.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
