@@ -102,16 +102,18 @@ class BoxSOLOv2Head(nn.Module):
             interpolate_bilinear(feats[4], feats[3].shape[1:3]),
         ]
 
+        # tower deformable-conv option (reference box_solov2_head.py:68-69)
+        _dcn = self.type_dcn if self.use_dcn_in_tower else None
         kernel_convs = [
             ConvModule(self.seg_feat_channels, 3, 1, 1, norm_cfg=gn,
                        use_bias=False, kernel_init=init01,
-                       name=f'kernel_conv_{i}')
+                       conv_type=_dcn, name=f'kernel_conv_{i}')
             for i in range(self.stacked_convs)
         ]
         cate_convs = [
             ConvModule(self.seg_feat_channels, 3, 1, 1, norm_cfg=gn,
                        use_bias=False, kernel_init=init01,
-                       name=f'cate_conv_{i}')
+                       conv_type=_dcn, name=f'cate_conv_{i}')
             for i in range(self.stacked_convs)
         ]
         solo_cate = Conv2d(self.num_classes, 3, 1, 1, kernel_init=init01,
@@ -158,6 +160,7 @@ class BoxSOLOv2Head(nn.Module):
                 x = ConvModule(self.seg_feat_channels, 3, 1, 1,
                                norm_cfg=None, use_bias=False,
                                kernel_init=init01,
+                               conv_type=_dcn,
                                name=f'feature_conv_{i}_{j}')(x, train=train)
                 if i > 0:  # conv followed by x2 bilinear upsample
                     x = interpolate_bilinear(

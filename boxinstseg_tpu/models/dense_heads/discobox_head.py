@@ -305,16 +305,18 @@ class DiscoBoxSOLOv2Head(nn.Module):
             feats[1], feats[2], feats[3],
             interpolate_bilinear(feats[4], feats[3].shape[1:3]),
         ]
+        # tower deformable-conv option (reference box_solov2_head.py:68-69)
+        _dcn = self.type_dcn if self.use_dcn_in_tower else None
         kernel_convs = [
             ConvModule(self.seg_feat_channels, 3, 1, 1, norm_cfg=gn,
                        use_bias=False, kernel_init=init01,
-                       name=f'kernel_conv_{i}')
+                       conv_type=_dcn, name=f'kernel_conv_{i}')
             for i in range(self.stacked_convs)
         ]
         cate_convs = [
             ConvModule(self.seg_feat_channels, 3, 1, 1, norm_cfg=gn,
                        use_bias=False, kernel_init=init01,
-                       name=f'cate_conv_{i}')
+                       conv_type=_dcn, name=f'cate_conv_{i}')
             for i in range(self.stacked_convs)
         ]
         solo_cate = Conv2d(self.num_classes, 3, 1, 1, kernel_init=init01,

@@ -204,14 +204,26 @@ class ConvModule(nn.Module):
     kernel_init: Callable = nn.initializers.variance_scaling(
         1.0 / 3.0, 'fan_in', 'uniform')
     axis_name: Optional[str] = None
+    conv_type: Optional[str] = None   # None = plain conv; 'DCN' | 'DCNv2'
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         bias = self.use_bias if self.use_bias is not None \
             else self.norm_cfg is None
-        x = Conv2d(self.features, self.kernel_size, self.stride, self.padding,
-                   self.dilation, use_bias=bias, kernel_init=self.kernel_init,
-                   name='conv')(x)
+        if self.conv_type in ('DCN', 'DCNv2'):
+            # tower deformable conv (reference: ConvModule conv_cfg
+            # routing into mmcv deform conv, box_solov2_head.py:68-69)
+            from .deform_conv import DeformConv2d
+            x = DeformConv2d(self.features, self.kernel_size, self.stride,
+                             self.padding, self.dilation,
+                             modulated=(self.conv_type == 'DCNv2'),
+                             use_bias=bias, name='conv')(x)
+        elif self.conv_type is not None:
+            raise ValueError(f'unknown conv type {self.conv_type!r}')
+        else:
+            x = Conv2d(self.features, self.kernel_size, self.stride,
+                       self.padding, self.dilation, use_bias=bias,
+                       kernel_init=self.kernel_init, name='conv')(x)
         if self.norm_cfg is not None:
             t = self.norm_cfg['type']
             if t in ('BN', 'SyncBN'):

@@ -391,11 +391,10 @@ def _fwd_rdot_pallas(kernel_factory, out_block, out_rows, idxp_flat,
       idxp_flat, aux_flat, patchflat)
 
 
-def _dpatch_kernel_factory(rng_, ch, p, d):
+def _dpatch_kernel_factory(rng_, ch, d):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(vk_r, vs_r, vb_r, vz_r, idx_s, w_s, g_s, out_ref):
+    def kernel(vk_r, vs_r, vb_r, vz_r, idx_s, u_s, out_ref):
         v = pl.program_id(0)
 
         @pl.when(vz_r[v] == 1)
@@ -409,47 +408,31 @@ def _dpatch_kernel_factory(rng_, ch, p, d):
         # MARGIN_ROWS, so a chunk is scheduled against ~3-4 adjacent
         # cell blocks — but ACTUAL offsets are tiny (<= 1-2 cells at
         # init and for typically-trained weights), leaving most margin
-        # visits with zero in-block samples. Predicating the two MXU
-        # matmuls on a dynamic hit test skips the kernel's dominant
-        # cost (the one-hot matmuls) on those visits while staying
-        # exact: skipped visits contribute only zeros.
+        # visits with zero in-block samples. Predicating the MXU
+        # matmul on a dynamic hit test skips the kernel's dominant
+        # cost on those visits while staying exact: skipped visits
+        # contribute only zeros.
         @pl.when(jnp.any((rel >= 0) & (rel < rng_)))
         def _():
-            # per-sample grad rows: repeat each query's g for its p
-            # points. A sublane broadcast+reshape lowers to a slow
-            # Mosaic relayout (measured 2x whole-kernel cost); a 0/1
-            # repeat-matrix matmul rides the MXU instead.
-            qi = jax.lax.broadcasted_iota(
-                jnp.int32, (ch, ch // p), 0) // p
-            ri = jax.lax.broadcasted_iota(jnp.int32, (ch, ch // p), 1)
-            g_rep = jax.lax.dot_general(
-                (qi == ri).astype(jnp.bfloat16),
-                g_s[:].astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (ch, d)
-            # (ch, 4d) without a lane-concatenate (Mosaic cannot lower
-            # tpu.concatenate of offset-layout operands at these
-            # shapes; see _patch_block_from_rows): repeat + lane mask
-            lane4 = jax.lax.broadcasted_iota(
-                jnp.int32, (ch, 4 * d), 1) // d
-            u_t = sum(
-                pltpu.repeat(w_s[:, k:k + 1] * g_rep, 4, 1)
-                * (lane4 == k).astype(jnp.float32)
-                for k in range(4))                         # (ch, 4d)
+            # the per-sample update rows u = w4 (x) g_rep are
+            # PRECOMPUTED in XLA (dense elementwise, ~0.4 ms of HBM
+            # traffic) — an earlier revision assembled them in-kernel
+            # from (w4, g) via a repeat-matmul + lane masks, which
+            # dominated the per-visit cost (~3 us/visit measured; the
+            # one-hot matmul alone is ~0.3 us at these tiles).
             oh_t = (rel[None, :] == jax.lax.broadcasted_iota(
                 jnp.int32, (rng_, ch), 0)).astype(jnp.bfloat16)
             out_ref[0] += jax.lax.dot_general(
-                oh_t, u_t.astype(jnp.bfloat16),
+                oh_t, u_s[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
     return kernel
 
 
-def _dpatch_pallas(idx_flat, w4_flat, g_flat, tables, bh, p, d):
-    """idx_flat: (1, N) i32 cell indices; w4_flat: (N, 4) f32 corner
-    weights; g_flat: (BH*L, d) f32 upstream grad — all natural
-    (bh, query, point) order, pure reshapes of the VJP residue.
+def _dpatch_pallas(idx_flat, u_flat, tables, bh, d):
+    """idx_flat: (1, N) i32 cell indices; u_flat: (N, 4d) bf16 update
+    rows (w4 (x) per-query grad, natural (bh, query, point) order).
     Returns (BH, CELLS, 4d) f32."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -457,16 +440,14 @@ def _dpatch_pallas(idx_flat, w4_flat, g_flat, tables, bh, p, d):
     rng_ = tables['rng']
     nk = tables['nk']
     nv = tables['vk'].shape[0]
-    kernel = _dpatch_kernel_factory(rng_, CH, p, d)
+    kernel = _dpatch_kernel_factory(rng_, CH, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nv,),
         in_specs=[
             pl.BlockSpec((1, CH), lambda v, vk, vs, vb, vz:
                          (0, vs[v]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, 4), lambda v, vk, vs, vb, vz:
-                         (vs[v], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH // p, d), lambda v, vk, vs, vb, vz:
+            pl.BlockSpec((CH, 4 * d), lambda v, vk, vs, vb, vz:
                          (vs[v], 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -480,7 +461,7 @@ def _dpatch_pallas(idx_flat, w4_flat, g_flat, tables, bh, p, d):
         interpret=_FORCE_INTERPRET,
     )(jnp.asarray(tables['vk']), jnp.asarray(tables['vs']),
       jnp.asarray(tables['vbase']), jnp.asarray(tables['vzero']),
-      idx_flat, w4_flat, g_flat)
+      idx_flat, u_flat)
     nr = tables['nr']
     return out.reshape(bh, nr * rng_, 4 * d)[:, :tables['cells']]
 
@@ -706,17 +687,21 @@ def _bwd(query_grids, res, g):
     if tables is None:
         d_patch = xla_dpatch(None)
     else:
-        # every fast-path operand is a pure reshape — zero repacking
         idx_flat = idxp.reshape(1, bh * s)
-        w4_flat = w4.reshape(bh * s, 4).astype(jnp.float32)
-        g_flat = g_f.reshape(bh * l, c)
         lo = jnp.asarray(tables['lo'])
         hi = jnp.asarray(tables['hi'])
         in_window = jnp.all((idx_flat[0] >= lo) & (idx_flat[0] < hi))
 
         def fast(_):
-            return _dpatch_pallas(idx_flat, w4_flat, g_flat, tables,
-                                  bh, p, c)
+            # update rows u = w4 (x) g, PRECOMPUTED in XLA (dense
+            # elementwise) so the kernel is one one-hot matmul per
+            # visit. Precision mirrors xla_dpatch(quantize=True)
+            # exactly: g -> bf16, w4*g in f32, result -> bf16.
+            g_u = g_f.astype(jnp.bfloat16).astype(jnp.float32)
+            u = (w4.reshape(bh, l, p, 4)[..., None].astype(jnp.float32)
+                 * g_u[:, :, None, None, :]).reshape(bh * s, 4 * c)
+            u_flat = u.astype(jnp.bfloat16)
+            return _dpatch_pallas(idx_flat, u_flat, tables, bh, c)
 
         d_patch = jax.lax.cond(
             in_window, fast, lambda _: xla_dpatch(None, quantize=True),
