@@ -58,6 +58,14 @@ FAMILIES = {
         cfg='configs/box2mask/box2mask_r50_lsj_8x2_50e_coco.py',
         batch=1, hw=(1024, 1024), masks=True, ts=False,
         metric='box2mask_r50_50e_train_images_per_sec_per_chip'),
+    # flagship transformer recipe (BASELINE.json configs[4]; reference
+    # README.md:50 — Swin-L 41.9 val mask AP). In the default sweep
+    # (first, so the headline stays last); BENCH_SKIP_SWINL=1 skips it.
+    'box2mask_swinl': dict(
+        cfg='configs/box2mask/'
+            'box2mask_swin-l-p4-w12-384-lsj_8x1_50e_coco.py',
+        batch=1, hw=(1024, 1024), masks=True, ts=False,
+        metric='box2mask_swinl_50e_train_images_per_sec_per_chip'),
 }
 
 
@@ -123,8 +131,16 @@ def bench_family(family):
                          with_masks=fam['masks'],
                          live=int(os.environ.get('BENCH_LIVE_GTS', 16)))
     sched = step_lr_schedule(0.005, 'linear', 500, 0.001, (60000, 80000))
-    tx = build_optimizer(dict(type='SGD', lr=0.005, momentum=0.9,
-                              weight_decay=1e-4), sched)
+    # the shipped recipe's optimizer (AdamW + paramwise for Box2Mask /
+    # Swin, SGD for the others) so the benched step is the production
+    # step; paramwise custom_keys need the real param tree, so tx is
+    # built after init_variables below
+    opt_cfg = dict(cfg.optimizer) if cfg.get('optimizer') else dict(
+        type='SGD', lr=0.005, momentum=0.9, weight_decay=1e-4)
+
+    def _tx(variables):
+        return build_optimizer(opt_cfg, sched,
+                               params_example=variables['params'])
 
     if fam['ts']:
         from boxinstseg_tpu.ops.correspondence import create_object_bank
@@ -140,6 +156,7 @@ def bench_family(family):
         variables = init_variables(
             model, {'params': jax.random.PRNGKey(0)}, batch,
             jnp.zeros((), jnp.int32), None, None, bank, method=model.loss)
+        tx = _tx(variables)
         state = create_train_state(model, variables, tx, ema=True,
                                    corr_state=bank)
         ts_cfg = dict(cfg.get('ts_cfg', {}))
@@ -152,6 +169,7 @@ def bench_family(family):
         variables = init_variables(model, {'params': jax.random.PRNGKey(0)},
                                    batch, jnp.zeros((), jnp.int32),
                                    method=model.loss)
+        tx = _tx(variables)
         state = create_train_state(model, variables, tx)
         step = make_train_step(model, tx, mesh=None, donate=True)
 
@@ -179,6 +197,25 @@ def bench_family(family):
     peak = _peak_flops(jax.devices()[0].device_kind or '')
     mfu = (flops * iters / dt) / peak if flops else 0.0
 
+    # optional eval-path (inference) FPS — reference parity point:
+    # tools/analysis_tools/benchmark.py FPS runs (BENCH_EVAL=1)
+    eval_fps = None
+    if os.environ.get('BENCH_EVAL'):
+        from boxinstseg_tpu.engine import make_eval_step
+        estep = make_eval_step(model)
+        variables = state.variables()
+        out = estep(variables, batch)
+        jax.block_until_ready(out)
+        # state-thread the input so tunnel RPC memoization can't fake it
+        img = batch['image']
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = estep(variables, dict(batch, image=img))
+            img = img + jnp.float32(1e-6)
+        jax.block_until_ready(out)
+        edt = time.perf_counter() - t0
+        eval_fps = batch_size * iters / edt
+
     rec = {
         'metric': fam['metric'],
         'value': round(img_per_sec, 3),
@@ -190,6 +227,8 @@ def bench_family(family):
         'step_time_ms': round(1000 * dt / iters, 2),
         'mfu': round(mfu, 4),
     }
+    if eval_fps is not None:
+        rec['eval_fps'] = round(eval_fps, 3)
     # regression gate vs the committed floor (default shapes only — an
     # override changes the workload, so the floor doesn't apply)
     default_shape = (batch_size == fam['batch'] and use_bf16
@@ -213,7 +252,11 @@ def main():
     # Headline boxinst LAST (the driver records the last line).
     import subprocess
     import sys
-    for family in ('discobox', 'boxlevelset', 'box2mask', 'boxinst'):
+    fams = ['box2mask_swinl', 'discobox', 'boxlevelset', 'box2mask',
+            'boxinst']
+    if os.environ.get('BENCH_SKIP_SWINL'):
+        fams.remove('box2mask_swinl')
+    for family in fams:
         env = dict(os.environ, BENCH_MODEL=family)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env)

@@ -181,9 +181,25 @@ def make_ts_train_step(model, tx: optax.GradientTransformation,
             ts=(state.avg_loss_ins < ts_thresh).astype(jnp.float32),
             corr=(state.avg_loss_ins < corr_thresh).astype(jnp.float32),
         )
-        teacher_out = model.apply(state.teacher_variables(),
-                                  batch['image'],
-                                  method=model.teacher_outputs)
+
+        # the reference runs the teacher forward ONLY after the 13k-iter
+        # switch-on (single_stage_ts.py:195-199, turn_on_teacher) — the
+        # cond skips a full backbone+neck+head forward per step before
+        # that; the closed branch's zeros are multiplied by the
+        # teacher=0 gate anyway (student stands in for the teacher).
+        def t_fwd(_):
+            return model.apply(state.teacher_variables(), batch['image'],
+                               method=model.teacher_outputs)
+
+        def t_zero(_):
+            shapes = jax.eval_shape(t_fwd, None)
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        if use_teacher and start_iter <= 0:
+            teacher_out = t_fwd(None)     # always on: no cond overhead
+        else:
+            teacher_out = jax.lax.cond(turn_on > 0, t_fwd, t_zero, None)
         teacher_out = jax.lax.stop_gradient(teacher_out)
 
         (total, (losses, new_bs, corr_append)), grads = jax.value_and_grad(

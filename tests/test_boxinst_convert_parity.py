@@ -22,28 +22,41 @@ GN_GROUPS = 4
 PARAMS = 169   # tiny cfg: 3 dyn convs, 8 ch, rel coords
 
 
-def _build_torch_boxinst(torch, nn):
-    from test_weight_convert import _torch_resnet18
+def _build_torch_boxinst(torch, nn, zoo=False):
+    """Reference-named torch BoxInst. ``zoo=True`` builds the FULL
+    boxinst_r50_fpn_1x shapes (reference config: R-50, FPN 256,
+    4-stack GN(32) towers, mask branch 4x128 -> 16, 233 dyn-conv
+    params, 80 classes) so torch2jax is exercised at zoo scale."""
+    from test_weight_convert import _torch_resnet18, _torch_resnet50
+
+    if zoo:
+        C_, NC_, GN_, PARAMS_ = 256, 80, 32, 233
+        fpn_ins = [512, 1024, 2048]
+        stacks, br_convs, br_ch, br_out = 4, 4, 128, 16
+    else:
+        C_, NC_, GN_, PARAMS_ = C, NUM_CLASSES, GN_GROUPS, PARAMS
+        fpn_ins = [128, 256, 512]
+        stacks, br_convs, br_ch, br_out = 1, 1, 16, 8
 
     torch.manual_seed(0)
-    backbone = _torch_resnet18(torch, nn)
+    backbone = (_torch_resnet50 if zoo else _torch_resnet18)(torch, nn)
 
     class FPN(nn.Module):
         def __init__(self):
             super().__init__()
-            ins = [128, 256, 512]            # start_level=1 of r18
+            ins = fpn_ins                    # start_level=1
             self.lateral_convs = nn.ModuleList()
             self.fpn_convs = nn.ModuleList()
             for i, cin in enumerate(ins):
                 lat = nn.Module()
-                lat.conv = nn.Conv2d(cin, C, 1)
+                lat.conv = nn.Conv2d(cin, C_, 1)
                 self.lateral_convs.append(lat)
                 fc = nn.Module()
-                fc.conv = nn.Conv2d(C, C, 3, padding=1)
+                fc.conv = nn.Conv2d(C_, C_, 3, padding=1)
                 self.fpn_convs.append(fc)
             for _ in range(2):               # extra convs (P6, P7)
                 fc = nn.Module()
-                fc.conv = nn.Conv2d(C, C, 3, 2, 1)
+                fc.conv = nn.Conv2d(C_, C_, 3, 2, 1)
                 self.fpn_convs.append(fc)
 
         def forward(self, feats):            # feats: C3, C4, C5
@@ -60,8 +73,8 @@ def _build_torch_boxinst(torch, nn):
     class Tower(nn.Module):
         def __init__(self):
             super().__init__()
-            self.conv = nn.Conv2d(C, C, 3, padding=1)
-            self.gn = nn.GroupNorm(GN_GROUPS, C)
+            self.conv = nn.Conv2d(C_, C_, 3, padding=1)
+            self.gn = nn.GroupNorm(GN_, C_)
 
         def forward(self, x):
             return self.gn(self.conv(x)).relu()
@@ -69,11 +82,11 @@ def _build_torch_boxinst(torch, nn):
     class Head(nn.Module):
         def __init__(self):
             super().__init__()
-            self.cls_convs = nn.ModuleList([Tower()])
-            self.reg_convs = nn.ModuleList([Tower()])
-            self.conv_cls = nn.Conv2d(C, NUM_CLASSES, 3, padding=1)
-            self.conv_reg = nn.Conv2d(C, 4, 3, padding=1)
-            self.conv_centerness = nn.Conv2d(C, 1, 3, padding=1)
+            self.cls_convs = nn.ModuleList([Tower() for _ in range(stacks)])
+            self.reg_convs = nn.ModuleList([Tower() for _ in range(stacks)])
+            self.conv_cls = nn.Conv2d(C_, NC_, 3, padding=1)
+            self.conv_reg = nn.Conv2d(C_, 4, 3, padding=1)
+            self.conv_centerness = nn.Conv2d(C_, 1, 3, padding=1)
             self.scales = nn.ModuleList()
             for _ in range(5):
                 s = nn.Module()
@@ -105,17 +118,19 @@ def _build_torch_boxinst(torch, nn):
                 m.conv = nn.Conv2d(cin, cout, k, padding=p, bias=False)
                 m.bn = nn.BatchNorm2d(cout)
                 return m
-            self.refines = nn.ModuleList([cm(C, 16) for _ in range(3)])
-            self.mask_branch = nn.Sequential(cm(16, 16),
-                                             nn.Conv2d(16, 8, 1))
+            self.refines = nn.ModuleList([cm(C_, br_ch) for _ in range(3)])
+            self.mask_branch = nn.Sequential(
+                *[cm(br_ch, br_ch) for _ in range(br_convs)],
+                nn.Conv2d(br_ch, br_out, 1))
 
         def forward(self, feats, aligned_bilinear):
             x = self._cm(self.refines[0], feats[0])
             for i, s in zip((1, 2), (2, 4)):
                 p = self._cm(self.refines[i], feats[i])
                 x = x + aligned_bilinear(p, s)
-            x = self._cm(self.mask_branch[0], x)
-            return self.mask_branch[1](x)
+            for m in self.mask_branch[:-1]:
+                x = self._cm(m, x)
+            return self.mask_branch[-1](x)
 
         @staticmethod
         def _cm(m, x):
@@ -129,7 +144,7 @@ def _build_torch_boxinst(torch, nn):
             self.bbox_head = Head()
             self.mask_branch = Branch()
             mh = nn.Module()
-            mh.param_conv = nn.Conv2d(C, PARAMS, 3, padding=1)
+            mh.param_conv = nn.Conv2d(C_, PARAMS_, 3, padding=1)
             self.mask_head = mh
 
     m = Model()

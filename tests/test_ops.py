@@ -36,6 +36,34 @@ def test_aligned_bilinear_matches_torch(rng, factor):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_srgb_to_lab_vendored_golden():
+    """sRGB -> CIELab against VENDORED published reference values
+    (Lindbloom / colormine, sRGB D65 -> Lab D65/2deg — the same
+    white point and matrix skimage.color.rgb2lab uses), so the Lab
+    oracle runs even where skimage isn't installed. Goes red if the
+    gamma, matrix, white point, or f(t) branch in ops/color.py is
+    perturbed (reference host op: condinst_head.py:1413)."""
+    golden = {
+        (255, 0, 0): (53.2408, 80.0925, 67.2032),
+        (0, 255, 0): (87.7347, -86.1827, 83.1793),
+        (0, 0, 255): (32.2970, 79.1875, -107.8602),
+        (255, 255, 0): (97.1393, -21.5537, 94.4780),
+        (0, 255, 255): (91.1132, -48.0875, -14.1312),
+        (255, 0, 255): (60.3242, 98.2343, -60.8249),
+        (255, 255, 255): (100.0, 0.0, 0.0),
+        (0, 0, 0): (0.0, 0.0, 0.0),
+        (128, 128, 128): (53.585, 0.0, 0.0),
+        (70, 130, 180): (52.4654, -4.0800, -32.1883),  # steel blue
+        (1, 2, 3): (0.5098, -0.1225, -0.4705),  # deep-shadow (linear seg)
+    }
+    cols = list(golden)
+    img = jnp.asarray(np.array(cols, np.float32).reshape(1, -1, 3))
+    lab = np.asarray(srgb_uint8_to_lab(img))[0]
+    for c, got in zip(cols, lab):
+        np.testing.assert_allclose(got, golden[c], atol=0.05,
+                                   err_msg=str(c))
+
+
 def test_srgb_to_lab_matches_skimage(rng):
     try:
         from skimage import color
