@@ -496,15 +496,43 @@ def _corner_data(value, loc_x, loc_y, weight):
     return flat, idx_local, base_bh, w4, (wx, wy, ok)
 
 
+# Split the flat patch-row gathers into groups along the bh axis:
+# random-access cost grows with TABLE footprint on TPU (gathers from
+# tables <= ~34 MB measured ~6x faster per row than from 176 MB — see
+# docs/tpu_performance_notes.md "scatter-add is row-count bound").
+# 0 = one folded gather (historical default); n = n groups.
+_SPLIT = int(os.environ.get('MSDA_SPLIT', '0'))
+
+
+def _take_rows_grouped(flat, idx_local, base_bh, bh, rows_per_bh, width):
+    """Gather (bh*rows_per_bh) rows from the per-bh-sectioned ``flat``
+    table, optionally as ``_SPLIT`` independent smaller-table gathers."""
+    groups = _SPLIT if _SPLIT > 1 and bh % _SPLIT == 0 else 1
+    if groups == 1:
+        idx = (idx_local + base_bh).reshape(-1)
+        return jnp.take(flat, idx, axis=0)
+    per = bh // groups
+    section = flat.shape[0] // bh
+    flat_g = flat.reshape(groups, per * section, width)
+    base_g = (jnp.arange(per, dtype=jnp.int32) * section)[:, None]
+    outs = [
+        jnp.take(flat_g[g],
+                 (idx_local[g * per:(g + 1) * per] + base_g).reshape(-1),
+                 axis=0)
+        for g in range(groups)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
 def _sample_psum_ref(value, loc_x, loc_y, weight, p):
     """Pure-XLA forward: out[bh, l, c] = sum_p w4 . rows."""
     b = value.shape[0]
     c = value.shape[-1]
     flat, idx_local, base_bh, w4, _ = _corner_data(
         value, loc_x, loc_y, weight)
-    idx = (idx_local + base_bh).reshape(-1)
     s = idx_local.shape[1]
-    rows = jnp.take(flat, idx, axis=0).reshape(b, s, 4, c)
+    rows = _take_rows_grouped(flat, idx_local, base_bh, b, s,
+                              4 * c).reshape(b, s, 4, c)
     out = (rows * w4[..., None].astype(rows.dtype)).sum(axis=2)
     return out.reshape(b, s // p, p, c).sum(axis=2)
 
@@ -546,8 +574,8 @@ def _xla_sample_f32(value, idxp, w4, p):
     flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
     base_bh = (jnp.arange(b, dtype=jnp.int32)
                * ((h + 1) * (w + 1)))[:, None]
-    idx = (idxp + base_bh).reshape(-1)
-    rows = jnp.take(flat, idx, axis=0).reshape(b, s, 4, c)
+    rows = _take_rows_grouped(flat, idxp, base_bh, b, s,
+                              4 * c).reshape(b, s, 4, c)
     out = (rows.astype(jnp.float32) * w4[..., None]).sum(axis=2)
     return out.reshape(b, s // p, p, c).sum(axis=2)     # f32
 
@@ -619,7 +647,8 @@ def _bwd(query_grids, res, g):
             pad[:, :-1, :-1], pad[:, :-1, 1:],
             pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)
         flat = patch.reshape(bh * (h + 1) * (w + 1), 4 * c)
-        rows = jnp.take(flat, idx, axis=0).reshape(bh, l, p, 4, c)
+        rows = _take_rows_grouped(flat, idxp, base_bh, bh, s,
+                                  4 * c).reshape(bh, l, p, 4, c)
         if quantize:
             return (rows.astype(jnp.float32)
                     * g_f[:, :, None, None, :]).sum(-1)

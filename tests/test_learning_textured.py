@@ -1,0 +1,203 @@
+"""Learning gate for the COLOR-AFFINITY path (VERDICT r3 weak #4).
+
+The painted-rectangle gates can't catch a broken
+``image_color_similarity``: inside every box the color statistics are
+trivially uniform and the GT mask IS the box. Here objects are SHADED
+NON-RECTANGULAR shapes (ellipse/diamond/triangle, varying per instance)
+on smooth contrasting backgrounds, so the GT mask is a strict subset of
+the box and the only signal that can carve the box corners away is
+BoxInst's pairwise term weighted by Lab color similarity
+(reference: condinst_head.py:1288-1343, get_image_color_similarity
+:190-246). The gate trains the same tiny BoxInst twice:
+
+  * full recipe (pairwise + color similarity on), and
+  * a color-ablated run (pairwise_color_thresh > 1 makes every neighbor
+    fail the similarity test, so the pairwise term is inert),
+
+and asserts the full recipe beats the ablation by a real margin (plus
+an absolute floor). Perturbing the Lab math or the similarity stencil
+drags the full run down to (or below) the ablation and the gate goes
+red.
+
+Calibration on this harness (8-device CPU mesh, seed 0, 250 iters,
+warmup 110): see the thresholds below; warmup must end only after
+projection has formed masks, else the pairwise term traps the empty
+solution (any rising pixel disagrees with its color-similar low
+neighbors) — the same reason the reference warms up for 10k iters.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import boxinstseg_tpu  # noqa: F401
+from boxinstseg_tpu.config import Config
+
+H, W = 96, 128
+NUM_CLASSES = 3
+COLORS = [(215, 60, 60), (60, 215, 60), (70, 70, 215)]
+
+
+def make_textured_dataset(root, n_images=8, seed=0):
+    """Non-rectangular SHADED objects on smooth contrasting backgrounds.
+
+    Each object is an ellipse, diamond, or triangle (shape varies per
+    instance, so the box alone cannot predict the mask) filled with a
+    smooth top-to-bottom shading of its class color (a Lab-visible 30%
+    luminance sweep — 'textured', but locally smooth so the dilated
+    color-similarity stencil keeps intra-object edges, which is
+    BoxInst's own operating assumption). Background: smooth dark
+    gradient. GT masks are the true polygons — a strict subset of the
+    box, so only color affinity can carve the corners away."""
+    import cv2
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, 'images')
+    os.makedirs(img_dir, exist_ok=True)
+    images, anns = [], []
+    aid = 1
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    for i in range(n_images):
+        # smooth dark background gradient (random direction per image)
+        gx, gy = rng.uniform(-1, 1, 2)
+        g = (gx * xx / W + gy * yy / H)
+        g = (g - g.min()) / max(g.max() - g.min(), 1e-6)
+        img = np.stack([20 + 50 * g, 25 + 45 * g, 35 + 55 * g],
+                       axis=-1).astype(np.uint8)
+        placed = []
+        for _ in range(rng.randint(1, 4)):
+            for _try in range(20):
+                hw = int(rng.randint(14, 23))        # half extents
+                hh = int(rng.randint(14, 23))
+                cx = int(rng.randint(hw + 1, W - hw - 1))
+                cy = int(rng.randint(hh + 1, H - hh - 1))
+                x1, y1 = cx - hw, cy - hh
+                w, h = 2 * hw, 2 * hh
+                if all(x1 + w + 4 <= px or px + pw + 4 <= x1
+                       or y1 + h + 4 <= py or py + ph + 4 <= y1
+                       for (px, py, pw, ph) in placed):
+                    break
+            else:
+                continue
+            placed.append((x1, y1, w, h))
+            cls = int(rng.randint(0, NUM_CLASSES))
+            shape = rng.randint(0, 3)
+            if shape == 0:                            # ellipse
+                th = np.linspace(0, 2 * np.pi, 28, endpoint=False)
+                poly = np.stack([cx + hw * np.cos(th),
+                                 cy + hh * np.sin(th)], -1)
+            elif shape == 1:                          # diamond
+                poly = np.array([[cx, y1], [x1 + w, cy],
+                                 [cx, y1 + h], [x1, cy]], np.float64)
+            else:                                     # triangle
+                poly = np.array([[cx, y1], [x1 + w, y1 + h],
+                                 [x1, y1 + h]], np.float64)
+            mask = np.zeros((H, W), np.uint8)
+            cv2.fillPoly(mask, [np.round(poly).astype(np.int32)], 1)
+            base = np.clip(np.array(COLORS[cls], np.float64)
+                           + rng.randint(-12, 12, 3), 30, 225)
+            # smooth 30% luminance sweep top -> bottom of the object
+            t = np.clip((yy - y1) / max(h, 1), 0, 1)
+            shade = (0.85 + 0.3 * t)[..., None] * base[None, None]
+            img = np.where(mask[..., None] > 0,
+                           np.clip(shade, 0, 255),
+                           img).astype(np.uint8)
+            anns.append(dict(id=aid, image_id=i + 1, category_id=cls + 1,
+                             bbox=[x1, y1, w, h],
+                             area=float(mask.sum()), iscrowd=0,
+                             segmentation=[poly.reshape(-1).tolist()]))
+            aid += 1
+        cv2.imwrite(os.path.join(img_dir, f'{i}.jpg'), img)
+        images.append(dict(id=i + 1, width=W, height=H,
+                           file_name=f'{i}.jpg'))
+    cats = [dict(id=c + 1, name=f'cls{c}') for c in range(NUM_CLASSES)]
+    ann_file = os.path.join(root, 'ann.json')
+    with open(ann_file, 'w') as f:
+        json.dump(dict(images=images, annotations=anns,
+                       categories=cats), f)
+    return ann_file, img_dir
+
+
+def _train_and_eval(tmp_path, tag, color_ablated):
+    from boxinstseg_tpu.registry import build_dataset, build_detector
+    from boxinstseg_tpu.apis.train import train_detector
+    from boxinstseg_tpu.apis.test import run_evaluation
+    from test_boxinst_model import tiny_boxinst_cfg
+
+    ann_file, img_dir = make_textured_dataset(
+        os.path.join(str(tmp_path), 'data'))
+    img_norm = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_rgb=True)
+    pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True, with_mask=False),
+        dict(type='Resize', img_scale=(W, H), keep_ratio=True),
+        dict(type='RandomFlip', flip_ratio=0.5),
+        dict(type='Normalize', **img_norm),
+        dict(type='Pad', size_divisor=32),
+        dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+    ]
+    test_pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=(W, H), flip=False,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='RandomFlip'),
+                 dict(type='Normalize', **img_norm),
+                 dict(type='Pad', size_divisor=32),
+                 dict(type='Collect', keys=['img']),
+             ])]
+    classes = tuple(f'cls{c}' for c in range(NUM_CLASSES))
+    mcfg = tiny_boxinst_cfg()
+    mcfg['bbox_head']['num_classes'] = NUM_CLASSES
+    # the pairwise trap: while masks are unformed, a rising pixel
+    # disagrees with its (color-similar) low neighbors and is pushed
+    # back down — reference-scale BoxInst avoids it by warming up
+    # pairwise only after masks form (10k of 90k iters). Projection
+    # forms masks here by ~iter 100, so warmup ends at 110.
+    mcfg['mask_head']['pairwise_warmup'] = 110
+    if color_ablated:
+        # every neighbor fails the similarity threshold -> pairwise
+        # term contributes exactly zero (color path disabled)
+        mcfg['mask_head']['pairwise_color_thresh'] = 1.1
+    mcfg['test_cfg']['score_thr'] = 0.1
+    cfg = Config.fromdict(dict(
+        model=mcfg,
+        data=dict(samples_per_gpu=1, workers_per_gpu=1,
+                  train=dict(type='CocoDataset', ann_file=ann_file,
+                             img_prefix=img_dir, pipeline=pipeline,
+                             classes=classes),
+                  test=dict(type='CocoDataset', ann_file=ann_file,
+                            img_prefix=img_dir, pipeline=test_pipeline,
+                            classes=classes)),
+        optimizer=dict(type='SGD', lr=0.01, momentum=0.9,
+                       weight_decay=1e-4),
+        optimizer_config=dict(grad_clip=dict(max_norm=10)),
+        lr_config=dict(policy='step', warmup='linear', warmup_iters=20,
+                       warmup_ratio=0.1, step=[10000]),
+        runner=dict(type='IterBasedRunner', max_iters=250),
+        checkpoint_config=dict(interval=10000),
+        log_config=dict(interval=50),
+        canvases=[(H, W)], max_gts=8, seed=0,
+        work_dir=os.path.join(str(tmp_path), f'work_{tag}'),
+    ))
+    model = build_detector(cfg.model.copy())
+    dataset = build_dataset(cfg.data['train'])
+    state = train_detector(model, dataset, cfg)
+    test_ds = build_dataset({**cfg.data['test'], 'test_mode': True})
+    return run_evaluation(model, state.variables(), test_ds, cfg,
+                          metrics=['bbox', 'segm'], batch_size=2)
+
+
+def test_color_pairwise_beats_projection_only(tmp_path):
+    # calibrated (8-device CPU mesh, seed 0): full 0.711 segm mAP /
+    # ablated 0.274 — box-ish masks cap at mAP75 0.138 on varied
+    # shapes while color-carved masks reach 1.0. Thresholds leave
+    # ~1.5x margin on both the absolute floor and the gap.
+    full = _train_and_eval(tmp_path, 'full', color_ablated=False)
+    abl = _train_and_eval(tmp_path, 'ablated', color_ablated=True)
+    # the color-affinity path must demonstrably refine masks beyond the
+    # box bitmask: a broken Lab / similarity stencil erases the gap
+    assert full['segm_mAP'] >= abl['segm_mAP'] + 0.15, (full, abl)
+    assert full['segm_mAP'] >= 0.45, (full, abl)
+    assert full['bbox_mAP_50'] >= 0.7, full
