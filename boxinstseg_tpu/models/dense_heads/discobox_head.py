@@ -481,10 +481,16 @@ class DiscoBoxSOLOv2Head(nn.Module):
         canvases = jax.lax.map(
             _query_canvas,
             (t_assign, cu, q_mask, km, pair_valid, q_boxes))   # (Q,2,H4,W4)
-        iiu = jnp.zeros((B * K, 2, H4, W4), jnp.float32).at[order].add(
-            canvases * q_ok[:, None, None, None].astype(jnp.float32))
-        iiu = jax.lax.stop_gradient(
-            iiu.reshape(B, K, 2, H4, W4) * corr_gate)
+        # COMPACT iiu: only the Q corr-query slots carry nonzero priors
+        # (reference computes the inter-image mean field per matched
+        # object, discobox_head.py:900-1139) — the consumer runs the
+        # exp-based CRF on just these rows instead of all B*K padded
+        # slots (256 -> 16 instances, ~12 ms/step saved at bench shapes)
+        iiu = dict(
+            rows=jax.lax.stop_gradient(
+                canvases * q_ok[:, None, None, None].astype(jnp.float32)
+                * corr_gate),
+            order=order)
 
         # ---- bank append entries (teacher crops; reference :1117-1131)
         wide = (q_boxes[:, 2] - q_boxes[:, 0]) > min_size
@@ -593,8 +599,20 @@ class DiscoBoxSOLOv2Head(nn.Module):
         ts = dice_loss_eps(s_flat, pseudo.reshape(B * K, -1))
         loss_ts_val = (ts * vmask.reshape(-1)).sum() / denom
         if iiu is not None:
-            pseudo_iiu = jax.lax.stop_gradient(
-                crf(kernel, avg_scores, box_mask, iiu=iiu))
+            # run the exp-based iiu CRF on ONLY the Q corr-query rows
+            # (all other slots have iiu == 0, where the iiu fixed point
+            # coincides with the plain CRF's ``pseudo``), then write the
+            # refined rows back over the plain result
+            order_q = iiu['order']
+            img_q = order_q // K
+            h4w, w4w = box_mask.shape[-2], box_mask.shape[-1]
+            xq = avg_scores.reshape(B * K, h4w, w4w)[order_q][:, None]
+            tq = box_mask.reshape(B * K, h4w, w4w)[order_q][:, None]
+            pq = jax.lax.stop_gradient(
+                crf(kernel[img_q], xq, tq,
+                    iiu=iiu['rows'][:, None]))[:, 0]
+            pseudo_iiu = pseudo.reshape(B * K, h4w, w4w) \
+                .at[order_q].set(pq)
             ts2 = dice_loss_eps(s_flat, pseudo_iiu.reshape(B * K, -1))
             cg = corr_gate if corr_gate is not None else jnp.float32(0.0)
             loss_ts_val = loss_ts_val + cg * (

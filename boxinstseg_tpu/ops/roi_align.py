@@ -5,6 +5,14 @@ Gather-based bilinear implementation: fixed ``sampling_ratio`` points per
 output bin (the reference's adaptive ratio-0 mode is data-dependent and
 non-static; 2x2 matches its behavior for typical ROI sizes), aligned=True
 coordinate convention (pixel-center offset -0.5).
+
+TPU formulation: ONE flat row-gather over a 2x2-patch table with global
+(batch-folded) indices. An earlier revision materialized a per-roi
+feature copy (``feat[batch_idx]`` -> (N, H, W, C), ~69 MB at DiscoBox
+bench shapes) and ran a vmap'd batched gather per corner, which lowers
+to serialized per-roi loops on TPU (~14 ms/step profiled, incl. a
+3.4 ms dynamic-update-slice chain); the flat patch gather is
+row-count-bound (N*oh*s*ow*s rows) and needs no per-roi copies.
 """
 from __future__ import annotations
 
@@ -37,29 +45,35 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size,
     ys = y1[:, None] + iy[None, :] * bin_h[:, None]        # (N, oh*s)
     xs = x1[:, None] + ix[None, :] * bin_w[:, None]        # (N, ow*s)
 
-    feat_n = feat[batch_idx]                               # (N, H, W, C)
-
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
-    wy = (ys - y0)[:, :, None]
-    wx = (xs - x0)[:, None, :]
+    wy = (ys - y0)[:, :, None]                             # (N, ohs, 1)
+    wx = (xs - x0)[:, None, :]                             # (N, 1, ows)
 
-    def gather(yy, xx):
-        # yy: (N, oh*s); xx: (N, ow*s) integer coords
-        inb_y = (yy >= 0) & (yy < h)
-        inb_x = (xx >= 0) & (xx < w)
-        yi = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
-        xi = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
-        g = jax.vmap(lambda f, a, bb: f[a][:, bb])(feat_n, yi, xi)
-        return g * (inb_y[:, :, None] & inb_x[:, None, :])[..., None]
+    # 2x2 patch table: each (h+1, w+1) cell holds its four bilinear
+    # corners [TL, TR, BL, BR] channel-stacked — every sample is ONE
+    # 4C-wide row (4x fewer gather rows; zero pad gives out-of-bounds
+    # semantics without per-corner masks)
+    pad = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patch = jnp.concatenate([
+        pad[:, :-1, :-1], pad[:, :-1, 1:],
+        pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)         # (B,h+1,w+1,4C)
+    flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
 
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x0 + 1)
-    v10 = gather(y0 + 1, x0)
-    v11 = gather(y0 + 1, x0 + 1)
-    wy = wy[..., None]
-    wx = wx[..., None]
-    vals = ((1 - wy) * ((1 - wx) * v00 + wx * v01)
-            + wy * ((1 - wx) * v10 + wx * v11))            # (N,oh*s,ow*s,C)
+    # fully-outside samples read clamped (wrong) rows; mask via corner
+    # weights. Within [-1, h/w] the zero pad is exact.
+    ok = ((x0 >= -1) & (x0 <= w - 1))[:, None, :] \
+        & ((y0 >= -1) & (y0 <= h - 1))[:, :, None]         # (N, ohs, ows)
+    xi = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
+    yi = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
+    idx = (batch_idx[:, None, None] * ((h + 1) * (w + 1))
+           + yi[:, :, None] * (w + 1) + xi[:, None, :])    # (N, ohs, ows)
+    rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+        n, oh * s, ow * s, 4, c)
+
+    w4 = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
+                    wy * (1 - wx), wy * wx], axis=-1)      # (N,ohs,ows,4)
+    w4 = w4 * ok[..., None]
+    vals = (rows * w4[..., None].astype(rows.dtype)).sum(axis=3)
     vals = vals.reshape(n, oh, s, ow, s, c)
     return vals.mean(axis=(2, 4))

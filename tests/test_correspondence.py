@@ -23,6 +23,50 @@ def test_roi_align_constant_region(rng):
     assert out[0, ..., 1].max() == 0
 
 
+def test_roi_align_matches_loop_oracle(rng):
+    """Flat patch-gather RoIAlign vs a direct per-sample numpy loop
+    (mmcv aligned=True semantics: half-pixel offset, 2x2 samples/bin,
+    zero outside)."""
+    b, h, w, c = 2, 9, 11, 3
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    rois = np.array([
+        [0, 1.3, 0.7, 7.9, 6.2],
+        [1, -1.0, 2.0, 5.5, 10.5],     # partially out of bounds
+        [0, 4.0, 4.0, 4.6, 4.4],       # tiny roi
+    ], np.float32)
+    oh = ow = 3
+    s = 2
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                               (oh, ow)))
+
+    def sample(img, py, px):
+        y0, x0 = int(np.floor(py)), int(np.floor(px))
+        wy, wx = py - y0, px - x0
+        out = np.zeros(c)
+        for yy, xx, ww in [(y0, x0, (1 - wy) * (1 - wx)),
+                           (y0, x0 + 1, (1 - wy) * wx),
+                           (y0 + 1, x0, wy * (1 - wx)),
+                           (y0 + 1, x0 + 1, wy * wx)]:
+            if 0 <= yy < h and 0 <= xx < w:
+                out += ww * img[yy, xx]
+        return out
+
+    for r, (bi, x1, y1, x2, y2) in enumerate(rois):
+        bw = max(x2 - x1, 1e-3) / ow
+        bh = max(y2 - y1, 1e-3) / oh
+        for i in range(oh):
+            for j in range(ow):
+                acc = np.zeros(c)
+                for a in range(s):
+                    for d in range(s):
+                        py = y1 - 0.5 + (i + (a + 0.5) / s) * bh
+                        px = x1 - 0.5 + (j + (d + 0.5) / s) * bw
+                        acc += sample(feat[int(bi)], py, px)
+                np.testing.assert_allclose(
+                    got[r, i, j], acc / (s * s), rtol=1e-4, atol=1e-4,
+                    err_msg=f'roi {r} bin ({i},{j})')
+
+
 def test_sinkhorn_marginals(rng):
     b, n, m = 2, 6, 6
     cost = jnp.asarray(rng.rand(b, n, m).astype(np.float32))
