@@ -29,6 +29,14 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size,
     b, h, w, c = feat.shape
     n = rois.shape[0]
     batch_idx = rois[:, 0].astype(jnp.int32)
+    if n < b:
+        # fewer rois than batch slices (e.g. DiscoBox mask crops: 16
+        # rois into a B*K=256-slice instance tensor): preselect the N
+        # referenced slices so the patch table below is built over N
+        # images, not all B (256 slices would cost a 277 MB table)
+        feat = feat[batch_idx]
+        batch_idx = jnp.arange(n, dtype=jnp.int32)
+        b = n
     boxes = rois[:, 1:] * spatial_scale
     offset = 0.5 if aligned else 0.0
     x1 = boxes[:, 0] - offset
@@ -50,30 +58,58 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size,
     wy = (ys - y0)[:, :, None]                             # (N, ohs, 1)
     wx = (xs - x0)[:, None, :]                             # (N, 1, ows)
 
-    # 2x2 patch table: each (h+1, w+1) cell holds its four bilinear
-    # corners [TL, TR, BL, BR] channel-stacked — every sample is ONE
-    # 4C-wide row (4x fewer gather rows; zero pad gives out-of-bounds
-    # semantics without per-corner masks)
-    pad = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    patch = jnp.concatenate([
-        pad[:, :-1, :-1], pad[:, :-1, 1:],
-        pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)         # (B,h+1,w+1,4C)
-    flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
+    n_samples = n * oh * s * ow * s
+    if 4 * n_samples >= b * (h + 1) * (w + 1):
+        # MANY samples: 2x2 patch table — each (h+1, w+1) cell holds
+        # its four bilinear corners [TL, TR, BL, BR] channel-stacked,
+        # so every sample is ONE 4C-wide row (4x fewer gather rows;
+        # the zero pad gives out-of-bounds semantics corner-mask-free)
+        pad = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        patch = jnp.concatenate([
+            pad[:, :-1, :-1], pad[:, :-1, 1:],
+            pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)     # (B,h+1,w+1,4C)
+        flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
 
-    # fully-outside samples read clamped (wrong) rows; mask via corner
-    # weights. Within [-1, h/w] the zero pad is exact.
-    ok = ((x0 >= -1) & (x0 <= w - 1))[:, None, :] \
-        & ((y0 >= -1) & (y0 <= h - 1))[:, :, None]         # (N, ohs, ows)
-    xi = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
-    yi = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
-    idx = (batch_idx[:, None, None] * ((h + 1) * (w + 1))
-           + yi[:, :, None] * (w + 1) + xi[:, None, :])    # (N, ohs, ows)
-    rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-        n, oh * s, ow * s, 4, c)
+        # fully-outside samples read clamped (wrong) rows; mask via
+        # corner weights. Within [-1, h/w] the zero pad is exact.
+        ok = ((x0 >= -1) & (x0 <= w - 1))[:, None, :] \
+            & ((y0 >= -1) & (y0 <= h - 1))[:, :, None]     # (N, ohs, ows)
+        xi = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
+        yi = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
+        idx = (batch_idx[:, None, None] * ((h + 1) * (w + 1))
+               + yi[:, :, None] * (w + 1) + xi[:, None, :])
+        rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+            n, oh * s, ow * s, 4, c)
+        w4 = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
+                        wy * (1 - wx), wy * wx], axis=-1)  # (N,ohs,ows,4)
+        w4 = w4 * ok[..., None]
+        vals = (rows * w4[..., None].astype(rows.dtype)).sum(axis=3)
+    else:
+        # FEW samples (DiscoBox: 16 rois x 14x14 = 3k samples from a
+        # 270k-cell feature): building the patch table would cost more
+        # HBM traffic than all gathers combined — do 4 direct corner
+        # gathers with global flat indices instead (still no per-roi
+        # copies, no batched/vmap gathers)
+        flat0 = feat.reshape(b * h * w, c)
+        base = batch_idx[:, None, None] * (h * w)
 
-    w4 = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
-                    wy * (1 - wx), wy * wx], axis=-1)      # (N,ohs,ows,4)
-    w4 = w4 * ok[..., None]
-    vals = (rows * w4[..., None].astype(rows.dtype)).sum(axis=3)
+        def corner(yy, xx):
+            inb = ((yy >= 0) & (yy < h))[:, :, None] \
+                & ((xx >= 0) & (xx < w))[:, None, :]
+            yi = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+            xi = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+            idx = base + yi[:, :, None] * w + xi[:, None, :]
+            g = jnp.take(flat0, idx.reshape(-1), axis=0).reshape(
+                n, oh * s, ow * s, c)
+            return g * inb[..., None].astype(g.dtype)
+
+        v00 = corner(y0, x0)
+        v01 = corner(y0, x0 + 1)
+        v10 = corner(y0 + 1, x0)
+        v11 = corner(y0 + 1, x0 + 1)
+        wyc = wy[..., None].astype(v00.dtype)
+        wxc = wx[..., None].astype(v00.dtype)
+        vals = ((1 - wyc) * ((1 - wxc) * v00 + wxc * v01)
+                + wyc * ((1 - wxc) * v10 + wxc * v11))
     vals = vals.reshape(n, oh, s, ow, s, c)
     return vals.mean(axis=(2, 4))
