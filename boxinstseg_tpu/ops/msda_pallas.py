@@ -524,17 +524,55 @@ def _take_rows_grouped(flat, idx_local, base_bh, bh, rows_per_bh, width):
     return jnp.concatenate(outs, axis=0)
 
 
+@functools.lru_cache(maxsize=8)
+def _corner_expand_mat(c):
+    """(4, 4c) 0/1 matrix: w4 @ T broadcasts corner k over its c lanes."""
+    t = np.zeros((4, 4 * c), np.float32)
+    for k in range(4):
+        t[k, k * c:(k + 1) * c] = 1.0
+    return t
+
+
+@functools.lru_cache(maxsize=8)
+def _corner_fold_mat(c):
+    """(4c, c) 0/1 matrix: prod @ C sums the 4 corners per channel."""
+    m = np.zeros((4 * c, c), np.float32)
+    for k in range(4):
+        for j in range(c):
+            m[k * c + j, j] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=8)
+def _corner_seg_mat(c):
+    """(4c, 4) 0/1 matrix: prod @ S sums each corner's c lanes."""
+    m = np.zeros((4 * c, 4), np.float32)
+    for k in range(4):
+        m[k * c:(k + 1) * c, k] = 1.0
+    return m
+
+
 def _sample_psum_ref(value, loc_x, loc_y, weight, p):
-    """Pure-XLA forward: out[bh, l, c] = sum_p w4 . rows."""
+    """Pure-XLA forward: out[bh, l, c] = sum_p w4 . rows.
+
+    Everything stays in the (rows, 4c)-lane layout: splitting the
+    gathered 4c lanes into a (..., 4, c) axis is a PHYSICAL tile
+    relayout on TPU (~1.7 ms per (level, layer) at LSJ shapes,
+    profiled); broadcasting w4 across lanes and folding corners via
+    tiny 0/1 constant matmuls keeps every op 2D and relayout-free."""
     b = value.shape[0]
     c = value.shape[-1]
     flat, idx_local, base_bh, w4, _ = _corner_data(
         value, loc_x, loc_y, weight)
     s = idx_local.shape[1]
-    rows = _take_rows_grouped(flat, idx_local, base_bh, b, s,
-                              4 * c).reshape(b, s, 4, c)
-    out = (rows * w4[..., None].astype(rows.dtype)).sum(axis=2)
-    return out.reshape(b, s // p, p, c).sum(axis=2)
+    rows = _take_rows_grouped(flat, idx_local, base_bh, b, s, 4 * c)
+    w4t = jnp.dot(w4.reshape(b * s, 4).astype(jnp.float32),
+                  jnp.asarray(_corner_expand_mat(c)),
+                  preferred_element_type=jnp.float32)       # (N, 4c)
+    prod = rows * w4t.astype(rows.dtype)   # products in rows' dtype
+    out = jnp.dot(prod, jnp.asarray(_corner_fold_mat(c)).astype(
+        prod.dtype), preferred_element_type=jnp.float32)    # (N, c) f32
+    return out.reshape(b, s // p, p, c).sum(axis=2).astype(value.dtype)
 
 
 def msda_sample_psum(value, loc_x, loc_y, weight,
@@ -647,14 +685,33 @@ def _bwd(query_grids, res, g):
             pad[:, :-1, :-1], pad[:, :-1, 1:],
             pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)
         flat = patch.reshape(bh * (h + 1) * (w + 1), 4 * c)
-        rows = _take_rows_grouped(flat, idxp, base_bh, bh, s,
-                                  4 * c).reshape(bh, l, p, 4, c)
         if quantize:
+            # exactness twin of the Pallas rdot kernel ('all' mode):
+            # keep the historical (..., 4, c)-axis formulation so the
+            # two lax.cond branches agree bit-for-bit
+            rows = _take_rows_grouped(flat, idxp, base_bh, bh, s,
+                                      4 * c).reshape(bh, l, p, 4, c)
             return (rows.astype(jnp.float32)
                     * g_f[:, :, None, None, :]).sum(-1)
-        g_b = g.astype(rows.dtype)
-        return (rows * g_b[:, :, None, None, :]).sum(-1).astype(
-            jnp.float32)
+        # hot path (mode 'dvalue'): stay in the (N, 4c)-lane layout —
+        # splitting 4c lanes into a (4, c) axis is a physical tile
+        # relayout (~1.7 ms per (level, layer) at LSJ shapes, profiled).
+        # Tile g across the 4 corner blocks and fold each corner's c
+        # lanes with tiny 0/1 constant matmuls instead.
+        rows = _take_rows_grouped(flat, idxp, base_bh, bh, s, 4 * c)
+        g_rep = jnp.repeat(g.astype(rows.dtype).reshape(bh * l, c), p,
+                           axis=0)                          # (N, c)
+        g_t = jnp.dot(g_rep,
+                      jnp.asarray(_corner_fold_mat(c).T).astype(
+                          rows.dtype),
+                      preferred_element_type=jnp.float32).astype(
+            rows.dtype)                                     # (N, 4c)
+        prod = rows * g_t
+        rdot4 = jnp.dot(prod,
+                        jnp.asarray(_corner_seg_mat(c)).astype(
+                            prod.dtype),
+                        preferred_element_type=jnp.float32)  # (N, 4)
+        return rdot4.reshape(bh, l, p, 4)
 
     if ftables is None:
         rdot = _xla_rdot(quantize=False)                  # (BH,L,P,4)
@@ -722,14 +779,22 @@ def _bwd(query_grids, res, g):
         in_window = jnp.all((idx_flat[0] >= lo) & (idx_flat[0] < hi))
 
         def fast(_):
-            # update rows u = w4 (x) g, PRECOMPUTED in XLA (dense
-            # elementwise) so the kernel is one one-hot matmul per
-            # visit. Precision mirrors xla_dpatch(quantize=True)
-            # exactly: g -> bf16, w4*g in f32, result -> bf16.
+            # update rows u = w4 (x) g, PRECOMPUTED in XLA so the
+            # kernel is one one-hot matmul per visit. Precision mirrors
+            # xla_dpatch(quantize=True) exactly (g -> bf16, w4*g in
+            # f32, result -> bf16 — the lane-tiling matmuls below only
+            # copy values, never combine them). Built directly in the
+            # (N, 4c)-lane layout: the earlier (bh, l, p, 4, c) form
+            # paid a physical tile relayout on the final reshape
+            # (~1.7 ms per (level, layer), profiled).
             g_u = g_f.astype(jnp.bfloat16).astype(jnp.float32)
-            u = (w4.reshape(bh, l, p, 4)[..., None].astype(jnp.float32)
-                 * g_u[:, :, None, None, :]).reshape(bh * s, 4 * c)
-            u_flat = u.astype(jnp.bfloat16)
+            w4t = jnp.dot(w4.reshape(bh * s, 4).astype(jnp.float32),
+                          jnp.asarray(_corner_expand_mat(c)),
+                          preferred_element_type=jnp.float32)
+            g_t = jnp.dot(jnp.repeat(g_u.reshape(bh * l, c), p, axis=0),
+                          jnp.asarray(_corner_fold_mat(c).T),
+                          preferred_element_type=jnp.float32)
+            u_flat = (w4t * g_t).astype(jnp.bfloat16)       # (N, 4c)
             return _dpatch_pallas(idx_flat, u_flat, tables, bh, c)
 
         d_patch = jax.lax.cond(
