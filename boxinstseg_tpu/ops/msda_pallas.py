@@ -22,10 +22,11 @@ windowed one-hot-matmul Pallas kernel:
   them with zero repacking passes (an earlier p-major layout spent
   38 ms/step materializing packed operands).
 * Each kernel visit loads one sample chunk (contiguous — no gather!)
-  and accumulates ``one_hot(cell)^T @ (w4 x g)`` into the range's
-  (RNG, 4c) block on the MXU. End-to-end on a real v5e this cuts the
-  Box2Mask R50 LSJ b1 step 555 -> 470 ms vs the XLA scatter (see
-  ``_MODE`` below for the full all/off/dvalue comparison).
+  of XLA-precomputed update rows ``u = w4 (x) g`` and accumulates
+  ``one_hot(cell)^T @ u`` into the range's (RNG, 4c) block on the MXU
+  (see ``_MODE`` below for the measured end-to-end history: the XLA
+  scatter's 555 ms step is 311.9 ms with this kernel + the
+  relayout-free XLA fwd/rdot).
 * EXACTNESS: a sample whose offset exceeds the static window margin
   cannot be handled by its runs. The wrapper checks this per call
   (elementwise compare vs static bounds) and `lax.cond`-falls back to
@@ -63,12 +64,16 @@ _FORCE_INTERPRET = False   # tests flip this to run the kernel on CPU
 #   'dvalue' — only the d(patch) kernel; fwd/rdot stay XLA gathers
 #   'off'    — pure XLA everywhere
 # Default chosen by end-to-end Box2Mask R50 LSJ b1 step time on a real
-# v5e (steady-state, state-threaded timing; max_matched=100 recipe):
-#   all 668 ms | off 555 ms | dvalue 470 ms.
-# d(patch) replaces XLA's serialized scatter-add (a real ~85 ms win);
-# the fwd/rdot one-hot-matmul kernels move ~4x the useful bytes per
-# sample and lose ~200 ms to XLA's native gathers, so they are opt-in
-# only (kept exact-tested for future Mosaic gather support).
+# v5e (steady-state, state-threaded timing; max_matched=100 recipe).
+# Round-3 kernels measured: all 668 ms | off 555 ms | dvalue 470 ms —
+# d(patch) replaces XLA's serialized scatter-add; the fwd/rdot
+# one-hot-matmul kernels move ~4x the useful bytes per sample and lose
+# ~200 ms to XLA's native gathers, so they are opt-in only. Round 4
+# took 'dvalue' to 311.9 ms: the kernel's update rows are precomputed
+# in XLA, and the XLA fwd/rdot keep every (N, 4c) <-> (N, 4, c) tile
+# relayout out of the hot path via tiny constant matmuls (see
+# docs/tpu_performance_notes.md "Round-4"; the slice/column-broadcast
+# alternative measured 100 ms WORSE — don't re-try it).
 _MODE = os.environ.get('MSDA_PALLAS', 'dvalue')
 
 
