@@ -138,9 +138,13 @@ def bench_family(family):
     # built after init_variables below
     opt_cfg = dict(cfg.optimizer) if cfg.get('optimizer') else dict(
         type='SGD', lr=0.005, momentum=0.9, weight_decay=1e-4)
+    # grad_clip too (Box2Mask recipes clip at global-norm 0.01) — the
+    # benched step must pay every cost production training pays
+    opt_conf = dict(cfg.optimizer_config) \
+        if cfg.get('optimizer_config') else None
 
     def _tx(variables):
-        return build_optimizer(opt_cfg, sched,
+        return build_optimizer(opt_cfg, sched, optimizer_config=opt_conf,
                                params_example=variables['params'])
 
     if fam['ts']:

@@ -34,9 +34,27 @@ def default_wd_mask(params):
     return jax.tree_util.tree_map(lambda _: True, params)
 
 
+_SWIN_KEY_SUBS = (
+    # mmdet Swin module paths -> this repo's flax param paths (the Swin
+    # recipes' custom_keys name backbone norms/embeddings explicitly;
+    # without these translations they silently matched nothing and the
+    # reference's decay_mult=0.0 never applied)
+    (r'^backbone\.stages\.(\d+)\.blocks\.(\d+)\.norm',
+     r'backbone_m/stage\1_block\2/norm'),
+    (r'^backbone\.stages\.(\d+)\.downsample\.norm',
+     r'backbone_m/merge_norm\1'),
+    (r'^backbone\.patch_embed\.norm$', 'backbone_m/patch_norm'),
+    (r'^backbone\.norm', 'backbone_m/out_norm'),
+)
+
+
 def _ref_key_to_path(key: str) -> str:
     """Reference param-name prefixes -> our path substrings."""
-    return key.replace('backbone', 'backbone_m').replace('.', '/').lower()
+    k = key.lower()
+    for pat, rep in _SWIN_KEY_SUBS:
+        if re.match(pat, k):
+            return re.sub(pat, rep, k)
+    return k.replace('backbone', 'backbone_m').replace('.', '/')
 
 
 def _is_norm_param(path: str, leaf) -> bool:

@@ -7,8 +7,9 @@ heads and routes them into mmcv's CUDA deform conv via ConvModule's
 config turns it on, but silently ignoring the flag was a config lie — this
 is a real TPU implementation.
 
-TPU-first formulation: the offset/mask branch is a plain conv (zero-init,
-so at init the module IS the regular conv — mmcv semantics); sampling all
+TPU-first formulation: the offset/mask branch is a plain conv (zero-init
+mmcv *Pack semantics: DCNv1 starts as the regular conv; DCNv2 starts
+at 0.5x of it — sigmoid(0) masks); sampling all
 ``kh*kw`` taps is ONE flat row-gather over the 2x2-patch table per tap
 (rows pay per-ROW on TPU, the 4-corner form would cost 4x the rows — see
 docs/tpu_performance_notes.md), and the kernel contraction is one MXU
@@ -29,6 +30,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import Conv2d, compute_dtype, _TORCH_CONV_INIT
+from ..ops.patch import bilinear_patch_table
 
 
 def _pair(v) -> Tuple[int, int]:
@@ -50,10 +52,7 @@ def deform_sample_taps(x: jnp.ndarray, pos_y: jnp.ndarray,
     xi = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
     yi = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
 
-    pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    patch = jnp.concatenate([
-        pad[:, :-1, :-1], pad[:, :-1, 1:],
-        pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)     # (b, h+1, w+1, 4c)
+    patch = bilinear_patch_table(x)
     flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
     base = (jnp.arange(b, dtype=jnp.int32)
             * ((h + 1) * (w + 1))).reshape(b, 1, 1)
@@ -69,8 +68,10 @@ class DeformConv2d(nn.Module):
     """Deformable 2D convolution (NHWC).
 
     ``modulated=True`` is DCNv2 (per-tap sigmoid mask); False is DCNv1.
-    The offset (and mask) branch is a regular zero-initialized conv, so
-    the module starts out exactly equal to the plain convolution.
+    The offset (and mask) branch is a regular zero-initialized conv
+    (mmcv *Pack semantics): at init DCNv1 equals the plain convolution
+    exactly; DCNv2 equals 0.5x the plain convolution because the
+    zero-init mask logits sigmoid to 0.5 per tap (same in mmcv).
     """
     features: int
     kernel_size: Union[int, Tuple[int, int]] = 3
@@ -79,6 +80,7 @@ class DeformConv2d(nn.Module):
     dilation: Union[int, Tuple[int, int]] = 1
     modulated: bool = True
     use_bias: bool = True
+    kernel_init: object = _TORCH_CONV_INIT
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -126,7 +128,7 @@ class DeformConv2d(nn.Module):
             smp = smp * mask.reshape(b, oh * ow, k, 1).astype(smp.dtype)
 
         # one MXU contraction over (tap, cin)
-        kernel = self.param('kernel', _TORCH_CONV_INIT,
+        kernel = self.param('kernel', self.kernel_init,
                             (kh, kw, cin, self.features))
         cd = compute_dtype() or x.dtype
         out = jax.lax.dot_general(

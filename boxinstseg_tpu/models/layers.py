@@ -217,7 +217,8 @@ class ConvModule(nn.Module):
             x = DeformConv2d(self.features, self.kernel_size, self.stride,
                              self.padding, self.dilation,
                              modulated=(self.conv_type == 'DCNv2'),
-                             use_bias=bias, name='conv')(x)
+                             use_bias=bias, kernel_init=self.kernel_init,
+                             name='conv')(x)
         elif self.conv_type is not None:
             raise ValueError(f'unknown conv type {self.conv_type!r}')
         else:

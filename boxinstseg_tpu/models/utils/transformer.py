@@ -19,6 +19,7 @@ import flax.linen as nn
 import numpy as np
 
 from ..layers import Dense, LayerNorm
+from ...ops.patch import bilinear_patch_table
 
 
 class MultiheadAttention(nn.Module):
@@ -136,10 +137,7 @@ def _grid_sample_bilinear_patch(value: jnp.ndarray, loc_x: jnp.ndarray,
     wx = x - x0
     wy = y - y0
 
-    pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    patch = jnp.concatenate([
-        pad[:, :-1, :-1], pad[:, :-1, 1:],
-        pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)   # (b, h+1, w+1, 4c)
+    patch = bilinear_patch_table(value)
     flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
 
     # sample fully outside [-1, h/w] x ... reads clamped (wrong) rows;

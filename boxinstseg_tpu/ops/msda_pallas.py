@@ -50,6 +50,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from .patch import bilinear_patch_table
 
 # kernel tile parameters (measured optimum on v5e; see
 # docs/tpu_performance_notes.md)
@@ -264,10 +265,7 @@ def _patchflat(value, rng_, nr):
     grid — dense XLA slices of the padded value, built INSIDE the fast
     branch of the dispatch cond so the fallback never pays for it."""
     b, h, w, c = value.shape
-    pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    patch = jnp.concatenate([
-        pad[:, :-1, :-1], pad[:, :-1, 1:],
-        pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)
+    patch = bilinear_patch_table(value)
     flat = patch.reshape(b, (h + 1) * (w + 1), 4 * c)
     extra = nr * rng_ - flat.shape[1]
     return jnp.pad(flat, ((0, 0), (0, extra), (0, 0)))
@@ -491,10 +489,7 @@ def _corner_data(value, loc_x, loc_y, weight):
     w4 = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
                     wy * (1 - wx), wy * wx], axis=-1)    # (BH, S, 4)
     w4 = w4 * (ok * weight)[..., None]
-    pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    patch = jnp.concatenate([
-        pad[:, :-1, :-1], pad[:, :-1, 1:],
-        pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)
+    patch = bilinear_patch_table(value)
     flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
     base_bh = (jnp.arange(b, dtype=jnp.int32)
                * ((h + 1) * (w + 1)))[:, None]
@@ -610,10 +605,7 @@ def _xla_sample_f32(value, idxp, w4, p):
     built HERE, inside the branch, so the hot path never gathers it."""
     b, h, w, c = value.shape
     s = idxp.shape[1]
-    pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    patch = jnp.concatenate([
-        pad[:, :-1, :-1], pad[:, :-1, 1:],
-        pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)
+    patch = bilinear_patch_table(value)
     flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
     base_bh = (jnp.arange(b, dtype=jnp.int32)
                * ((h + 1) * (w + 1)))[:, None]
@@ -685,10 +677,7 @@ def _bwd(query_grids, res, g):
         # (an f32 cast would materialize the rows tensor — measured
         # 73 ms/step); quantize=True mirrors the Pallas rdot kernel's
         # exact f32 products so the two lax.cond branches agree.
-        pad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        patch = jnp.concatenate([
-            pad[:, :-1, :-1], pad[:, :-1, 1:],
-            pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)
+        patch = bilinear_patch_table(value)
         flat = patch.reshape(bh * (h + 1) * (w + 1), 4 * c)
         if quantize:
             # exactness twin of the Pallas rdot kernel ('all' mode):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from .patch import bilinear_patch_table
 
 
 def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size,
@@ -64,10 +65,7 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size,
         # its four bilinear corners [TL, TR, BL, BR] channel-stacked,
         # so every sample is ONE 4C-wide row (4x fewer gather rows;
         # the zero pad gives out-of-bounds semantics corner-mask-free)
-        pad = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        patch = jnp.concatenate([
-            pad[:, :-1, :-1], pad[:, :-1, 1:],
-            pad[:, 1:, :-1], pad[:, 1:, 1:]], axis=-1)     # (B,h+1,w+1,4C)
+        patch = bilinear_patch_table(feat)
         flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
 
         # fully-outside samples read clamped (wrong) rows; mask via

@@ -155,6 +155,41 @@ def test_paramwise_fns_box2mask_recipe():
                    np.zeros((32, 5))) == 1.0
 
 
+def test_paramwise_fns_swin_recipe():
+    """The Swin recipe's custom_keys name mmdet Swin module paths
+    (backbone.stages.N.blocks.M.norm etc.); they must translate to THIS
+    repo's flax param paths or the reference's 0.1x-lr / decay-0
+    backbone-norm rules silently never apply (caught in r4 review)."""
+    from boxinstseg_tpu.engine.optimizers import paramwise_fns
+    import numpy as np
+    cfg = _load('box2mask/box2mask_swin-t-p4-w7-224_lsj_8x2_50e_coco.py')
+    lr_mult, wd_mult = paramwise_fns(cfg.optimizer)
+    # backbone block norms: lr x0.1, decay 0
+    p = 'backbone_m/stage1_block0/norm1/scale'
+    assert lr_mult(p) == 0.1
+    assert wd_mult(p, np.zeros(96)) == 0.0
+    # patch-embed norm / stage-out norms / downsample (merge) norms
+    for p in ('backbone_m/patch_norm/scale',
+              'backbone_m/out_norm2/bias',
+              'backbone_m/merge_norm0/scale'):
+        assert lr_mult(p) == 0.1, p
+        assert wd_mult(p, np.zeros(96)) == 0.0, p
+    # relative position bias tables: lr x0.1, decay 0
+    p = 'backbone_m/stage0_block1/attn/relative_position_bias_table'
+    assert lr_mult(p) == 0.1
+    assert wd_mult(p, np.zeros((169, 3))) == 0.0
+    # plain backbone weights: lr x0.1, decay 1.0
+    p = 'backbone_m/stage0_block0/attn/qkv/kernel'
+    assert lr_mult(p) == 0.1
+    assert wd_mult(p, np.zeros((96, 288))) == 1.0
+    # head embeddings: lr x1, decay 0; head weights: x1 / 1.0
+    assert lr_mult('panoptic_head_m/query_feat') == 1.0
+    assert wd_mult('panoptic_head_m/query_feat',
+                   np.zeros((100, 256))) == 0.0
+    assert wd_mult('panoptic_head_m/cls_embed/kernel',
+                   np.zeros((256, 81))) == 1.0
+
+
 def test_layer_decay_constructor():
     from boxinstseg_tpu.engine.optimizers import paramwise_fns
     opt = dict(type='AdamW', lr=1e-4, weight_decay=0.05,
