@@ -32,7 +32,7 @@ from ..layers import Conv2d, ConvModule, normal_conv_init, \
     bias_init_with_prob
 from ...core.targets.solo import sample_positive_cells, solo_targets
 from ...ops.color import neighbor_offsets, shift2d
-from ...ops.correspondence import (bank_retrieve, info_nce_loss,
+from ...ops.correspondence import (bank_retrieve_batch, info_nce_loss,
                                    relu_l2_norm, solve_correspondence)
 from ...ops.nms import mask_matrix_nms, points_nms_2x2
 from ...ops.roi_align import roi_align
@@ -411,16 +411,15 @@ class DiscoBoxSOLOv2Head(nn.Module):
         inst_t = jax.lax.stop_gradient(t_scores.reshape(B * K, H4, W4, 1))
         qt_mask = roi_align(inst_t, rois_mask, (mh, mw))[..., 0]
 
-        # retrieval
-        kf, km, pair_valid = jax.vmap(
-            lambda l, f, m, b: bank_retrieve(
-                bank, l, f, m, b,
-                fg_iou_thresh=ob.get('fg_iou_thresh', 0.7),
-                bg_iou_thresh=ob.get('bg_iou_thresh', 0.7),
-                appear_thresh=ob.get('appear_thresh', 0.7),
-                ratio_range=tuple(ob.get('ratio_range', (0.9, 1.2))),
-                max_retrieval=ob.get('max_retrieval_objs', 5)))(
-            q_labels, q_feat, q_mask, q_boxes)
+        # retrieval (flat batched gathers — a vmap of the per-query
+        # version lowered to dynamic-update-slice chains, ~4.3 ms/step)
+        kf, km, pair_valid = bank_retrieve_batch(
+            bank, q_labels, q_feat, q_mask, q_boxes,
+            fg_iou_thresh=ob.get('fg_iou_thresh', 0.7),
+            bg_iou_thresh=ob.get('bg_iou_thresh', 0.7),
+            appear_thresh=ob.get('appear_thresh', 0.7),
+            ratio_range=tuple(ob.get('ratio_range', (0.9, 1.2))),
+            max_retrieval=ob.get('max_retrieval_objs', 5))
         R = kf.shape[1]
         q_ok = q_valid & (pair_valid.sum(-1) >= min(5, R))
 

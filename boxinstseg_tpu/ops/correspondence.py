@@ -245,3 +245,70 @@ def bank_retrieve(bank: ObjectBank, label: jnp.ndarray,
     order = jnp.argsort(key)[:max_retrieval]
     valid = jnp.take(ok, order)
     return kf[order], km[order], valid
+
+
+def bank_retrieve_batch(bank: ObjectBank, labels: jnp.ndarray,
+                        q_feat: jnp.ndarray, q_mask: jnp.ndarray,
+                        q_box: jnp.ndarray,
+                        fg_iou_thresh: float = 0.7,
+                        bg_iou_thresh: float = 0.7,
+                        appear_thresh: float = 0.7,
+                        ratio_range=(0.9, 1.2),
+                        max_retrieval: int = 5
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``bank_retrieve`` over a BATCH of Q queries via flat global-index
+    row gathers — a ``vmap`` of the single-query version lowers its
+    per-class bank slices to batched gathers with dynamic-update-slice
+    chains on TPU (~4.3 ms/step at DiscoBox bench shapes, profiled).
+
+    labels: (Q,); q_feat: (Q, fh, fw, D); q_mask: (Q, mh, mw);
+    q_box: (Q, 4). Returns (feats (Q, R, fh, fw, D),
+    masks (Q, R, mh, mw), valid (Q, R)).
+    """
+    import jax.image  # noqa: F401
+    cn, L, fh, fw, d = bank.feat.shape
+    mh, mw = bank.mask.shape[2:]
+    q = labels.shape[0]
+    rows = (labels[:, None] * L
+            + jnp.arange(L, dtype=labels.dtype)[None, :]).reshape(-1)
+    kf = jnp.take(bank.feat.reshape(cn * L, fh * fw * d), rows,
+                  axis=0).reshape(q, L, fh, fw, d)
+    km = jnp.take(bank.mask.reshape(cn * L, mh * mw), rows,
+                  axis=0).reshape(q, L, mh, mw)
+    kb = jnp.take(bank.box.reshape(cn * L, 4), rows,
+                  axis=0).reshape(q, L, 4)
+    filled = jnp.arange(L)[None, :] < jnp.minimum(
+        bank.count[labels], L)[:, None]
+
+    qm = q_mask[:, None]                                   # (Q,1,mh,mw)
+    fg_iou = (qm * km).sum((2, 3)) / jnp.maximum(
+        ((qm + km) >= 1).sum((2, 3)), 1e-6)
+    bg_iou = ((1 - qm) * (1 - km)).sum((2, 3)) / jnp.maximum(
+        ((2 - qm - km) >= 1).sum((2, 3)), 1e-6)
+
+    qm_f = jax.image.resize(q_mask, (q, fh, fw), 'bilinear')
+    km_f = jax.image.resize(km.reshape(q * L, mh, mw), (q * L, fh, fw),
+                            'bilinear').reshape(q, L, fh, fw)
+    sim = (q_feat[:, None] * kf * qm_f[:, None, ..., None]
+           * km_f[..., None]).sum((2, 3, 4)) / jnp.maximum(
+        (qm_f[:, None] * km_f).sum((2, 3)), 1e-6)
+
+    q_ratio = (q_box[:, 2] - q_box[:, 0]) / (q_box[:, 3]
+                                             - q_box[:, 1] + 1e-5)
+    k_ratio = (kb[..., 2] - kb[..., 0]) / (kb[..., 3]
+                                           - kb[..., 1] + 1e-5)
+    ratio = q_ratio[:, None] / jnp.maximum(k_ratio, 1e-5)
+
+    ok = (filled & (fg_iou > fg_iou_thresh) & (bg_iou > bg_iou_thresh)
+          & (sim > appear_thresh) & (ratio >= ratio_range[0])
+          & (ratio <= ratio_range[1]))
+    key = jnp.where(ok, jnp.arange(L)[None, :],
+                    L + jnp.arange(L)[None, :])
+    order = jnp.argsort(key, axis=1)[:, :max_retrieval]    # (Q, R)
+    valid = jnp.take_along_axis(ok, order, axis=1)
+    sel = (jnp.arange(q)[:, None] * L + order).reshape(-1)
+    kf_sel = jnp.take(kf.reshape(q * L, fh * fw * d), sel,
+                      axis=0).reshape(q, -1, fh, fw, d)
+    km_sel = jnp.take(km.reshape(q * L, mh * mw), sel,
+                      axis=0).reshape(q, -1, mh, mw)
+    return kf_sel, km_sel, valid

@@ -126,3 +126,19 @@ def test_object_bank_ring_and_retrieve(rng):
     _, _, kv0 = bank_retrieve(bank, jnp.asarray(0), feats[0], masks[0],
                               boxes[0])
     assert not bool(kv0.any())
+
+    # the flat BATCHED retrieval (production path) must agree with a
+    # vmap of the per-query version exactly
+    from boxinstseg_tpu.ops.correspondence import bank_retrieve_batch
+    q_labels = jnp.asarray([1, 0, 1], jnp.int32)
+    q_feats = feats[:3]
+    q_masks = masks[:3]
+    q_boxes = boxes[:3]
+    bf, bm, bv = jax.jit(lambda b: bank_retrieve_batch(
+        b, q_labels, q_feats, q_masks, q_boxes))(bank)
+    vf, vm, vv = jax.vmap(
+        lambda l, f, m, x: bank_retrieve(bank, l, f, m, x))(
+        q_labels, q_feats, q_masks, q_boxes)
+    np.testing.assert_array_equal(np.asarray(bv), np.asarray(vv))
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(vf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(bm), np.asarray(vm), rtol=1e-6)
