@@ -1,8 +1,9 @@
 """Benchmark: training throughput (images/sec/chip) for the shipped
 recipes.
 
-Default (what the driver runs, no env vars): ALL FOUR families, one JSON
-line each, with the headline BoxInst R-50-FPN 1x line LAST so the
+Default (what the driver runs, no env vars): ALL FIVE recipes (the four
+R-50 families + Swin-L Box2Mask), one JSON line each, each in a fresh
+subprocess, with the headline BoxInst R-50-FPN 1x line LAST so the
 driver's parsed record stays the full jitted BoxInst train step
 (backbone+FPN+heads+BoxInst losses+SGD) on synthetic 800x1344 canvases
 with the reference config's shapes (reference recipe:
