@@ -170,6 +170,30 @@ class LocalConsistencyModule:
         offsets = self._offsets()
         num_iter = self.num_iter
 
+        if jax.default_backend() == 'tpu':
+            # VMEM-resident refinement: the XLA scan re-reads the full
+            # (L*K, H, W) state through two clamped-index gathers per
+            # offset per round (~6 GB of gather traffic each way at
+            # Box2Mask bench shapes); the kernel runs all rounds with
+            # the state in VMEM and the adjoint is the same kernel
+            # transposed (the refinement is linear in phi).
+            from ...ops.pallas_kernels import lcm_refine_pallas
+            aff_sq = aff[:, 0]                       # (N, K, H, W)
+
+            @jax.custom_vjp
+            def refine_k(phis):
+                return lcm_refine_pallas(aff_sq, phis, offsets, num_iter)
+
+            def refine_k_fwd(phis):
+                return refine_k(phis), None
+
+            def refine_k_bwd(_, g):
+                return (lcm_refine_pallas(aff_sq, g, offsets, num_iter,
+                                          transpose=True),)
+
+            refine_k.defvjp(refine_k_fwd, refine_k_bwd)
+            return refine_k(pred_phis)
+
         def apply_a(a, phis):
             """refined[p] = sum_k aff[p, k] * phi[p + off_k]."""
             out = jnp.zeros_like(phis)

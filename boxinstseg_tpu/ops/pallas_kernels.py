@@ -285,3 +285,157 @@ def _crf_compiler_params():
     # live; the 16 MB default scoped-vmem limit rejects bench shapes
     from jax.experimental.pallas import tpu as pltpu
     return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
+# --------------------------------------------------------------- LCM
+
+
+def _zshift(a, dy, dx):
+    """Zero-padded shift: out[y, x] = a[y+dy, x+dx] (in-range else 0)."""
+    h, w = a.shape[-2], a.shape[-1]
+    pad = [(0, 0), (max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))]
+    ap = jnp.pad(a, pad)
+    return ap[:, max(dy, 0):max(dy, 0) + h, max(dx, 0):max(dx, 0) + w]
+
+
+def _edge_plane(a, axis, last):
+    """First/last row (axis=-2) or column (axis=-1) of ``a`` as a
+    keepdims masked reduction. A direct ``a[:, h-1:h, :]`` slice sits at
+    a non-zero sublane/lane offset, which Mosaic refuses to broadcast
+    ("offset mismatch on non-concat dimension"); the masked sum lands
+    the same values at offset 0."""
+    n = a.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape[-2:],
+                                   axis + 2)[None]
+    sel = idx == (n - 1 if last else 0)
+    return jnp.sum(jnp.where(sel, a, 0.0), axis=axis, keepdims=True)
+
+
+def _clamp_masks(shape, dy, dx):
+    """(row_clamped, col_clamped) source/target masks for a (dy, dx)
+    clamped shift, or None for a zero component."""
+    h, w = shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None]
+    row_cl = (rows > h - 1 - dy) if dy > 0 else \
+        (rows < -dy) if dy < 0 else None
+    col_cl = (cols > w - 1 - dx) if dx > 0 else \
+        (cols < -dx) if dx < 0 else None
+    return rows, cols, row_cl, col_cl
+
+
+def _rep_shift(a, dy, dx):
+    """Replicate (clamped-index) shift: out[y, x] = a[clip(y+dy), clip(x+dx)].
+
+    One combined zero-shift plus edge-plane fills. Every ``jnp.pad``
+    here consumes an offset-0 operand (``a`` itself or a masked-reduce
+    edge plane) — chaining pad -> slice -> pad trips Mosaic's
+    "result/input offset mismatch on non-concat dimension" because the
+    second pad concatenates an offset-carrying vector."""
+    h, w = a.shape[-2], a.shape[-1]
+    _, _, row_cl, col_cl = _clamp_masks((h, w), dy, dx)
+    out = _zshift(a, dy, dx)
+    if col_cl is not None:
+        ecol = _edge_plane(a, -1, dx > 0)                  # (ct, h, 1)
+        out = jnp.where(col_cl, _zshift(ecol, dy, 0), out)
+    if row_cl is not None:
+        erow = _edge_plane(a, -2, dy > 0)                  # (ct, 1, w)
+        fill = _zshift(erow, 0, dx)
+        if col_cl is not None:
+            corner = _edge_plane(erow, -1, dx > 0)         # (ct, 1, 1)
+            fill = jnp.where(col_cl, corner, fill)
+        out = jnp.where(row_cl, fill, out)
+    return out
+
+
+def _rep_shift_adjoint(g, dy, dx):
+    """Adjoint of ``_rep_shift``: scatter-add g[p] into clip(p + (dy, dx)).
+
+    Separable form: adjoint(zero-shift) = opposite zero-shift, and each
+    clamped tail folds onto its edge row/col as a masked-sum fill (the
+    corner gets the doubly-clamped total). Same Mosaic constraint as
+    ``_rep_shift``: pads only ever see offset-0 operands."""
+    h, w = g.shape[-2], g.shape[-1]
+    rows, cols, row_cl, col_cl = _clamp_masks((h, w), dy, dx)
+    e_y = h - 1 if dy > 0 else 0
+    e_x = w - 1 if dx > 0 else 0
+    out = _zshift(g, -dy, -dx)
+    if col_cl is not None:
+        cs = jnp.sum(jnp.where(col_cl, g, 0.0), axis=-1, keepdims=True)
+        out = out + jnp.where(cols == e_x, _zshift(cs, -dy, 0), 0.0)
+    if row_cl is not None:
+        rs = jnp.sum(jnp.where(row_cl, g, 0.0), axis=-2, keepdims=True)
+        fill = _zshift(rs, 0, -dx)
+        if col_cl is not None:
+            # two single-axis reduces: a combined axis=(-2, -1) reduce
+            # crashes Mosaic's layout inference (rank-1 implicit dim)
+            corner = jnp.sum(jnp.sum(jnp.where(row_cl & col_cl, g, 0.0),
+                                     axis=-2, keepdims=True),
+                             axis=-1, keepdims=True)
+            fill = fill + jnp.where(cols == e_x, corner, 0.0)
+        out = out + jnp.where(rows == e_y, fill, 0.0)
+    return out
+
+
+def _lcm_block_kernel(aff_ref, phi_ref, out_ref, *, offsets, num_iter,
+                      transpose):
+    """All ``num_iter`` LCM refinement rounds for one (C_tile, H, W)
+    channel block, state resident in VMEM.
+
+    Forward round:   st[p] <- sum_k aff[k, p] * st[clip(p + off_k)]
+    Transpose round: st[q] <- sum_k scatter_clip(aff[k] * st, off_k)
+    (the cotangent recurrence of the forward — the refinement is linear
+    in phi, so the backward is the same kernel with ``transpose=True``).
+
+    The XLA formulation re-reads the full (L*K, H, W) state through TWO
+    clamped-index gathers per offset per round (10 rounds x 8 offsets at
+    Box2Mask's (1000, 96, 96) state = ~6 GB of gather traffic each way);
+    here the state never leaves VMEM."""
+    aff = aff_ref[0]                           # (K_off, H, W) f32
+
+    def one_round(_, st):
+        s = jnp.zeros_like(st)
+        for k, (dy, dx) in enumerate(offsets):
+            if transpose:
+                s = s + _rep_shift_adjoint(aff[k][None] * st, dy, dx)
+            else:
+                s = s + aff[k][None] * _rep_shift(st, dy, dx)
+        return s
+
+    out_ref[0] = jax.lax.fori_loop(0, num_iter, one_round, phi_ref[0])
+
+
+def lcm_refine_pallas(aff: jnp.ndarray, phi: jnp.ndarray, offsets,
+                      num_iter: int, transpose: bool = False,
+                      c_tile: int = 8, interpret: bool = False
+                      ) -> jnp.ndarray:
+    """Local Consistency Module refinement (reference
+    levelset_loss.py:76-127) as a VMEM-resident Pallas kernel.
+
+    aff: (B, K_off, H, W) f32 softmax affinities (shared across all of an
+    image's channels); phi: (B, C, H, W) phi / cotangent channels.
+    Returns (B, C, H, W) in phi's dtype. ``transpose=True`` applies the
+    adjoint operator (the custom-VJP backward)."""
+    from jax.experimental import pallas as pl
+
+    b, c, h, w = phi.shape
+    in_dtype = phi.dtype
+    pad_c = (-c) % c_tile
+    if pad_c:
+        phi = jnp.pad(phi, ((0, 0), (0, pad_c), (0, 0), (0, 0)))
+    cp = c + pad_c
+    kern = functools.partial(_lcm_block_kernel, offsets=tuple(offsets),
+                             num_iter=num_iter, transpose=transpose)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, cp // c_tile),
+        in_specs=[
+            pl.BlockSpec((1, len(offsets), h, w), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, c_tile, h, w), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c_tile, h, w), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, cp, h, w), jnp.float32),
+        compiler_params=None if interpret else _crf_compiler_params(),
+        interpret=interpret,
+    )(aff.astype(jnp.float32), phi.astype(jnp.float32))
+    return out[:, :c].astype(in_dtype)

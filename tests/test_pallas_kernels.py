@@ -60,3 +60,83 @@ def test_analytic_pairwise_vjp_matches_autodiff(rng):
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-6)
+
+
+# ------------------------------------------------------------------ LCM
+
+
+def test_lcm_pallas_forward_matches_xla_refine(rng):
+    """VMEM LCM kernel (interpret) == the XLA scan refine, including the
+    replicate-pad clamp semantics at all four borders."""
+    from boxinstseg_tpu.models.losses.levelset_loss import (
+        LocalConsistencyModule)
+    from boxinstseg_tpu.ops.pallas_kernels import lcm_refine_pallas
+
+    imgs = jnp.asarray(rng.rand(2, 3, 12, 17).astype(np.float32))
+    phis = jnp.asarray(rng.rand(2, 5, 12, 17).astype(np.float32))
+    lcm = LocalConsistencyModule(dilations=(2,), num_iter=4)
+    want = np.asarray(lcm(imgs, phis))           # cpu backend: XLA path
+    aff = lcm._affinity(imgs)[:, 0]
+    got = np.asarray(lcm_refine_pallas(aff, phis, lcm._offsets(), 4,
+                                       c_tile=2, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_lcm_pallas_transpose_is_adjoint(rng):
+    """<A x, y> == <x, A^T y> for the kernel pair (the transpose kernel
+    is the custom-VJP backward on TPU)."""
+    from boxinstseg_tpu.models.losses.levelset_loss import (
+        LocalConsistencyModule)
+    from boxinstseg_tpu.ops.pallas_kernels import lcm_refine_pallas
+
+    imgs = jnp.asarray(rng.rand(1, 3, 11, 13).astype(np.float32))
+    x = jnp.asarray(rng.rand(1, 3, 11, 13).astype(np.float32))
+    y = jnp.asarray(rng.rand(1, 3, 11, 13).astype(np.float32))
+    lcm = LocalConsistencyModule(dilations=(2,), num_iter=3)
+    aff = lcm._affinity(imgs)[:, 0]
+    offs = lcm._offsets()
+    ax = np.asarray(lcm_refine_pallas(aff, x, offs, 3, c_tile=1,
+                                      interpret=True))
+    aty = np.asarray(lcm_refine_pallas(aff, y, offs, 3, c_tile=1,
+                                       transpose=True, interpret=True))
+    lhs = float((ax * np.asarray(y)).sum())
+    rhs = float((np.asarray(x) * aty).sum())
+    assert lhs == pytest.approx(rhs, rel=1e-5)
+
+
+def test_lcm_pallas_transpose_matches_xla_grad(rng):
+    """Kernel-pair VJP == autodiff/custom-VJP gradient of the XLA path."""
+    from boxinstseg_tpu.models.losses.levelset_loss import (
+        LocalConsistencyModule)
+    from boxinstseg_tpu.ops.pallas_kernels import lcm_refine_pallas
+
+    imgs = jnp.asarray(rng.rand(1, 3, 10, 14).astype(np.float32))
+    phis = jnp.asarray(rng.rand(1, 4, 10, 14).astype(np.float32))
+    box = jnp.asarray((rng.rand(1, 4, 10, 14) > 0.3).astype(np.float32))
+    lcm = LocalConsistencyModule(dilations=(2,), num_iter=4)
+    aff = lcm._affinity(imgs)[:, 0]
+    offs = lcm._offsets()
+
+    def loss_xla(p):
+        return (jnp.abs(lcm(imgs, p) - p) * box).sum()
+
+    def loss_kern(p):
+        @jax.custom_vjp
+        def refine(q):
+            return lcm_refine_pallas(aff, q, offs, 4, interpret=True)
+
+        def fwd(q):
+            return refine(q), None
+
+        def bwd(_, g):
+            return (lcm_refine_pallas(aff, g, offs, 4, transpose=True,
+                                      interpret=True),)
+
+        refine.defvjp(fwd, bwd)
+        return (jnp.abs(refine(p) - p) * box).sum()
+
+    v1, g1 = jax.value_and_grad(loss_xla)(phis)
+    v2, g2 = jax.value_and_grad(loss_kern)(phis)
+    assert float(v2) == pytest.approx(float(v1), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-4, atol=1e-6)
