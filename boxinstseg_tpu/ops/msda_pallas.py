@@ -469,11 +469,17 @@ def _dpatch_pallas(idx_flat, u_flat, tables, bh, d):
     return out.reshape(bh, nr * rng_, 4 * d)[:, :tables['cells']]
 
 
-def _corner_data(value, loc_x, loc_y, weight):
+def _corner_geom(value, loc_x, loc_y):
     """Shared forward geometry: padded patch table, flat row index per
-    sample (with bh offset), corner weights w4 (ok & attention folded).
+    sample (with bh offset), and the raw (wx, wy, ok) planes — all
+    (BH, S) arrays with perfect (8, 128) tiling. The (BH, S, 4)
+    corner-weight STACK is deliberately not built here: a 4-lane
+    minormost axis pads to 128 lanes physically (32x memory blowup,
+    ~0.7 GB of HBM traffic per (level, layer) at LSJ shapes, profiled
+    as 'data formatting'); consumers either fold the stack lazily
+    (XLA tail) or rebuild corner weights in VMEM (post-gather kernel).
 
-    value: (BH, H, W, c); loc_*/weight: (BH, S) f32 with S = L*P.
+    value: (BH, H, W, c); loc_*: (BH, S) f32 with S = L*P.
     """
     b, h, w, c = value.shape
     x = loc_x * w - 0.5
@@ -486,14 +492,20 @@ def _corner_data(value, loc_x, loc_y, weight):
     xi = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
     yi = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
     idx_local = yi * (w + 1) + xi                        # (BH, S)
-    w4 = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
-                    wy * (1 - wx), wy * wx], axis=-1)    # (BH, S, 4)
-    w4 = w4 * (ok * weight)[..., None]
     patch = bilinear_patch_table(value)
     flat = patch.reshape(b * (h + 1) * (w + 1), 4 * c)
     base_bh = (jnp.arange(b, dtype=jnp.int32)
                * ((h + 1) * (w + 1)))[:, None]
-    return flat, idx_local, base_bh, w4, (wx, wy, ok)
+    return flat, idx_local, base_bh, (wx, wy, ok)
+
+
+def _corner_w4(wx, wy, ok, weight):
+    """(BH, S, 4) corner-weight stack (ok & attention folded) — the
+    XLA tail's operand; op order matches the historical _corner_data
+    exactly."""
+    w4 = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
+                    wy * (1 - wx), wy * wx], axis=-1)    # (BH, S, 4)
+    return w4 * (ok * weight)[..., None]
 
 
 # Split the flat patch-row gathers into groups along the bh axis:
@@ -552,24 +564,155 @@ def _corner_seg_mat(c):
     return m
 
 
-def _sample_psum_ref(value, loc_x, loc_y, weight, p):
-    """Pure-XLA forward: out[bh, l, c] = sum_p w4 . rows.
+def _postgather_fwd_kernel_factory(ch, p, c, quant):
+    """Corner-weight + corner-fold + point-sum over one gathered
+    chunk, entirely in VMEM. Geometry arrives as (1, ch) LANE vectors
+    (the natural tiling of the (BH, S) planes); the identity-matmul
+    dot_general transposes them to (ch, 1) sample columns on the MXU
+    (dot_general contracts lanes of both operands, so no relayout).
+    ``quant`` mirrors the XLA tail's bf16 product contract exactly:
+    w4 and each corner product round to bf16, corner/point sums stay
+    f32 (bf16 products have 8-bit significands, so the 4-term f32
+    corner sum is EXACT and order-independent)."""
+    from jax.experimental import pallas as pl
 
-    Everything stays in the (rows, 4c)-lane layout: splitting the
-    gathered 4c lanes into a (..., 4, c) axis is a PHYSICAL tile
-    relayout on TPU (~1.7 ms per (level, layer) at LSJ shapes,
-    profiled); broadcasting w4 across lanes and folding corners via
-    tiny 0/1 constant matmuls keeps every op 2D and relayout-free."""
+    def kernel(rows_ref, wx_ref, wy_ref, ok_ref, wt_ref, id_ref,
+               out_ref):
+        idm = id_ref[...]
+        bi = pl.program_id(0)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (ch // p, ch), 0)
+        si = jax.lax.broadcasted_iota(jnp.int32, (ch // p, ch), 1)
+        fold = (si // p == qi).astype(jnp.float32)
+
+        # the block carries _POSTGATHER_KCH sub-chunks of ch samples
+        # each (one big block per grid step: 24k single-chunk steps
+        # measured SLOWER than the XLA tail from per-step overhead
+        # alone); each sub-chunk is processed with STATIC sub-slices
+        for j in range(_POSTGATHER_KCH):
+            def col(r):   # (B, kch*ch) block row bi -> (ch, 1) column
+                row = r[pl.dslice(bi, 1), j * ch:(j + 1) * ch]
+                return jax.lax.dot_general(
+                    idm, row.astype(jnp.float32),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            wxc = col(wx_ref)
+            wyc = col(wy_ref)
+            okw = col(ok_ref) * col(wt_ref)
+            rows = rows_ref[j * ch:(j + 1) * ch, :]
+            terms = ((1 - wyc) * (1 - wxc), (1 - wyc) * wxc,
+                     wyc * (1 - wxc), wyc * wxc)
+            u = jnp.zeros((ch, c), jnp.float32)
+            for k in range(4):
+                w4k = terms[k] * okw
+                if quant:
+                    w4k = w4k.astype(jnp.bfloat16).astype(jnp.float32)
+                prod = rows[:, k * c:(k + 1) * c].astype(
+                    jnp.float32) * w4k
+                if quant:
+                    prod = prod.astype(jnp.bfloat16).astype(jnp.float32)
+                u = u + prod
+            out_ref[j * (ch // p):(j + 1) * (ch // p), :] = \
+                jax.lax.dot_general(
+                    fold, u,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (ch//p, c)
+
+    return kernel
+
+
+def _postgather_fwd_pallas(rows, wx, wy, ok, wt, p, c):
+    """rows: (B*S, 4c) gathered patch rows; wx/wy/ok/wt: (B, S) f32
+    geometry planes. Returns (B*S//p, c) f32 point-summed samples."""
+    from jax.experimental import pallas as pl
+
+    b, s = wx.shape
+    ch = CH
+    kch = _POSTGATHER_KCH
+    big = ch * kch
+    nblocks = s // big
+    kernel = _postgather_fwd_kernel_factory(
+        ch, p, c, rows.dtype == jnp.bfloat16)
+    idm = jnp.eye(ch, dtype=jnp.float32)
+    # geometry blocks span ALL b sublane rows (Pallas requires the
+    # block's second-to-last dim be 8-divisible or array-equal); the
+    # kernel dynamically selects its bh row
+    geom_spec = pl.BlockSpec((b, big), lambda bi, ci: (0, ci))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * s // p, c), jnp.float32),
+        grid=(b, nblocks),
+        in_specs=[
+            pl.BlockSpec((big, 4 * c),
+                         lambda bi, ci: (bi * nblocks + ci, 0)),
+            geom_spec, geom_spec, geom_spec, geom_spec,
+            pl.BlockSpec((ch, ch), lambda bi, ci: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((big // p, c),
+                               lambda bi, ci: (bi * nblocks + ci, 0)),
+        interpret=_FORCE_INTERPRET or (_FORCE_POSTGATHER
+                                       and not _on_tpu()),
+    )(rows, wx, wy, ok, wt, idm)
+
+
+_FORCE_POSTGATHER = False  # tests flip this to exercise the kernel
+                           # (interpreted) on CPU; _FORCE_INTERPRET is
+                           # NOT used here because _sample_psum_ref
+                           # doubles as the tests' AUTODIFF oracle and
+                           # pallas_call has no AD rule
+
+
+_POSTGATHER_KCH = int(os.environ.get('MSDA_POSTGATHER_KCH', '8'))
+
+
+def _postgather_ok(s, p, c):
+    """Gate for the post-gather fusion kernel (env MSDA_POSTGATHER).
+
+    Default OFF: measured end-to-end on the Box2Mask R50 LSJ b1 step
+    (v5e) the kernel LOSES to the XLA tail — 294.3 ms at one chunk per
+    grid step (24k steps/call: per-step overhead alone swamps the
+    win), 289.5 ms at 8 sub-chunks per step, vs 282.3 ms for the XLA
+    tail with same-dtype copy dots. The (N, 4)-stack / (N, 4c)
+    intermediate traffic this kernel avoids is evidently cheaper than
+    the kernel's own per-chunk transpose dots + f32<->bf16 cast chains
+    at these shapes. Kept opt-in for re-testing on future toolchains."""
+    enabled = (os.environ.get('MSDA_POSTGATHER', '0') != '0'
+               and _on_tpu()) or _FORCE_POSTGATHER
+    return enabled and s % (CH * _POSTGATHER_KCH) == 0 and CH % p == 0
+
+
+def _sample_psum_ref(value, loc_x, loc_y, weight, p):
+    """Forward: out[bh, l, c] = sum_p w4 . rows.
+
+    The gather stays XLA (near the row-count floor); the corner
+    weighting/folding after it runs as a post-gather Pallas kernel on
+    TPU — the XLA tail below materializes a physically 32x-padded
+    (N, 4) stack plus (N, 4c) w4t/prod intermediates (~1.4 GB of HBM
+    traffic per (level, layer) at LSJ shapes). Everything in the tail
+    stays in the (rows, 4c)-lane layout: splitting the gathered 4c
+    lanes into a (..., 4, c) axis is a PHYSICAL tile relayout on TPU
+    (~1.7 ms per (level, layer) at LSJ shapes, profiled)."""
     b = value.shape[0]
     c = value.shape[-1]
-    flat, idx_local, base_bh, w4, _ = _corner_data(
-        value, loc_x, loc_y, weight)
+    flat, idx_local, base_bh, (wx, wy, ok) = _corner_geom(
+        value, loc_x, loc_y)
     s = idx_local.shape[1]
     rows = _take_rows_grouped(flat, idx_local, base_bh, b, s, 4 * c)
-    w4t = jnp.dot(w4.reshape(b * s, 4).astype(jnp.float32),
-                  jnp.asarray(_corner_expand_mat(c)),
-                  preferred_element_type=jnp.float32)       # (N, 4c)
-    prod = rows * w4t.astype(rows.dtype)   # products in rows' dtype
+    if _postgather_ok(s, p, c):
+        out = _postgather_fwd_pallas(
+            rows, wx, wy, ok.astype(jnp.float32),
+            weight.astype(jnp.float32), p, c)
+        return out.reshape(b, s // p, c).astype(value.dtype)
+    w4 = _corner_w4(wx, wy, ok, weight)
+    # the expand dot only COPIES w4 values (0/1 matrix), so emitting
+    # rows.dtype directly is bit-identical to the earlier
+    # f32-dot-then-astype — but skips materializing an f32 (N, 4c)
+    # intermediate (~350 MB of HBM traffic per (level, layer) at LSJ
+    # shapes; dot outputs don't fuse into elementwise consumers)
+    w4t = jnp.dot(w4.reshape(b * s, 4).astype(rows.dtype),
+                  jnp.asarray(_corner_expand_mat(c)).astype(rows.dtype),
+                  preferred_element_type=rows.dtype)        # (N, 4c)
+    prod = rows * w4t                      # products in rows' dtype
     out = jnp.dot(prod, jnp.asarray(_corner_fold_mat(c)).astype(
         prod.dtype), preferred_element_type=jnp.float32)    # (N, c) f32
     return out.reshape(b, s // p, p, c).sum(axis=2).astype(value.dtype)
@@ -695,11 +838,12 @@ def _bwd(query_grids, res, g):
         rows = _take_rows_grouped(flat, idxp, base_bh, bh, s, 4 * c)
         g_rep = jnp.repeat(g.astype(rows.dtype).reshape(bh * l, c), p,
                            axis=0)                          # (N, c)
+        # pure-copy dot (0/1 tiling matrix): emit rows.dtype directly
+        # instead of materializing an f32 (N, 4c) intermediate
         g_t = jnp.dot(g_rep,
                       jnp.asarray(_corner_fold_mat(c).T).astype(
                           rows.dtype),
-                      preferred_element_type=jnp.float32).astype(
-            rows.dtype)                                     # (N, 4c)
+                      preferred_element_type=rows.dtype)    # (N, 4c)
         prod = rows * g_t
         rdot4 = jnp.dot(prod,
                         jnp.asarray(_corner_seg_mat(c)).astype(
@@ -751,12 +895,15 @@ def _bwd(query_grids, res, g):
 
     def xla_dpatch(_, quantize=False):
         # quantize=True mirrors the Pallas path's precision exactly
-        # (g -> bf16, then w4*g -> bf16, f32 accumulation) so the two
-        # lax.cond branches agree numerically — a single out-of-window
-        # offset must not shift gradients for the whole call
+        # (g -> bf16, w4 -> bf16, then w4*g -> bf16, f32 accumulation)
+        # so the two lax.cond branches agree numerically — a single
+        # out-of-window offset must not shift gradients for the whole
+        # call
         g_u = g_f.astype(jnp.bfloat16).astype(jnp.float32) \
             if quantize else g_f
-        u = (w4.reshape(bh, l, p, 4)[..., None].astype(jnp.float32)
+        w4_u = w4.astype(jnp.bfloat16).astype(jnp.float32) \
+            if quantize else w4.astype(jnp.float32)
+        u = (w4_u.reshape(bh, l, p, 4)[..., None]
              * g_u[:, :, None, None, :]).reshape(bh * s, 4 * c)
         if quantize:
             u = u.astype(jnp.bfloat16).astype(jnp.float32)
@@ -775,20 +922,25 @@ def _bwd(query_grids, res, g):
         def fast(_):
             # update rows u = w4 (x) g, PRECOMPUTED in XLA so the
             # kernel is one one-hot matmul per visit. Precision mirrors
-            # xla_dpatch(quantize=True) exactly (g -> bf16, w4*g in
-            # f32, result -> bf16 — the lane-tiling matmuls below only
-            # copy values, never combine them). Built directly in the
-            # (N, 4c)-lane layout: the earlier (bh, l, p, 4, c) form
-            # paid a physical tile relayout on the final reshape
+            # xla_dpatch(quantize=True) exactly (g -> bf16, w4 -> bf16,
+            # w4*g single-rounded to bf16 — the lane-tiling matmuls
+            # below only copy values, never combine them, so emitting
+            # them in bf16 is bit-identical to f32-dot-then-round while
+            # skipping two f32 (N, 4c) materializations, ~700 MB of HBM
+            # traffic per (level, layer) at LSJ shapes). Built directly
+            # in the (N, 4c)-lane layout: the earlier (bh, l, p, 4, c)
+            # form paid a physical tile relayout on the final reshape
             # (~1.7 ms per (level, layer), profiled).
-            g_u = g_f.astype(jnp.bfloat16).astype(jnp.float32)
-            w4t = jnp.dot(w4.reshape(bh * s, 4).astype(jnp.float32),
-                          jnp.asarray(_corner_expand_mat(c)),
-                          preferred_element_type=jnp.float32)
-            g_t = jnp.dot(jnp.repeat(g_u.reshape(bh * l, c), p, axis=0),
-                          jnp.asarray(_corner_fold_mat(c).T),
-                          preferred_element_type=jnp.float32)
-            u_flat = (w4t * g_t).astype(jnp.bfloat16)       # (N, 4c)
+            w4t = jnp.dot(w4.reshape(bh * s, 4).astype(jnp.bfloat16),
+                          jnp.asarray(_corner_expand_mat(c)).astype(
+                              jnp.bfloat16),
+                          preferred_element_type=jnp.bfloat16)
+            g_t = jnp.dot(jnp.repeat(
+                g_f.astype(jnp.bfloat16).reshape(bh * l, c), p, axis=0),
+                jnp.asarray(_corner_fold_mat(c).T).astype(jnp.bfloat16),
+                preferred_element_type=jnp.bfloat16)
+            u_flat = (w4t.astype(jnp.float32)
+                      * g_t.astype(jnp.float32)).astype(jnp.bfloat16)
             return _dpatch_pallas(idx_flat, u_flat, tables, bh, c)
 
         d_patch = jax.lax.cond(

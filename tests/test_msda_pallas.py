@@ -138,3 +138,26 @@ def test_visit_tables_cover_all_cells():
     assert (tables['hi'] > 0).all()
     # runs' zero flags: exactly one first-visit per range
     assert tables['vzero'].sum() == nk
+
+
+@pytest.mark.parametrize('dtype', ['float32', 'bfloat16'])
+def test_postgather_fwd_kernel_matches_xla_tail(monkeypatch, dtype):
+    """The post-gather fusion kernel (corner weighting + fold + p-sum
+    in VMEM) must match the pure-XLA tail bit-for-bit in its product
+    contract (bf16 products are exact in the f32 corner sum)."""
+    monkeypatch.setattr(mp, 'CH', 16)
+    monkeypatch.setattr(mp, '_POSTGATHER_KCH', 2)
+    rng = np.random.RandomState(3)
+    value, lx, ly, wt = _inputs(rng, 1.0)
+    value = value.astype(dtype)
+    b, l, p = lx.shape
+    args = (value, lx.reshape(b, l * p), ly.reshape(b, l * p),
+            wt.reshape(b, l * p), p)
+    ref = mp._sample_psum_ref(*args)            # XLA tail (CPU path)
+    monkeypatch.setattr(mp, '_FORCE_POSTGATHER', True)
+    assert mp._postgather_ok(l * p, p, D)
+    out = mp._sample_psum_ref(*args)            # kernel (interpreted)
+    tol = 1e-6 if dtype == 'float32' else 1e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=tol, atol=tol)
