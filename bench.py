@@ -38,8 +38,8 @@ BENCH_BASELINE = {
     'boxinst_r50_1x_train_images_per_sec_per_chip': 68.5,
     'discobox_r50_3x_train_images_per_sec_per_chip': 22.1,
     'boxlevelset_r50_3x_train_images_per_sec_per_chip': 17.7,
-    'box2mask_r50_50e_train_images_per_sec_per_chip': 3.5,
-    'box2mask_swinl_50e_train_images_per_sec_per_chip': 2.2,
+    'box2mask_r50_50e_train_images_per_sec_per_chip': 3.8,
+    'box2mask_swinl_50e_train_images_per_sec_per_chip': 2.5,
 }
 BENCH_TOL = 0.03
 

@@ -199,49 +199,65 @@ class MultiScaleDeformableAttention(nn.Module):
             kernel_init=nn.initializers.zeros,
             bias_init=lambda *a: jnp.asarray(
                 _msda_offset_bias_init(h, nl, npnt)),
-            name='sampling_offsets')(query)
-        offsets = offsets.reshape(b, l, h, nl, npnt, 2)
+            name='sampling_offsets')(query)                # (b, l, 2hnp)
         attn = Dense(h * nl * npnt, kernel_init=nn.initializers.zeros,
                         bias_init=nn.initializers.zeros,
-                        name='attention_weights')(query)
-        attn = jax.nn.softmax(attn.reshape(b, l, h, nl * npnt), axis=-1)
-        attn = attn.reshape(b, l, h, nl, npnt)
+                        name='attention_weights')(query)   # (b, l, hnp)
+
+        # ---- channel-major transpose ONCE; everything after is static
+        # row gathers on (b, C, l). The earlier (b, l, h, nl, p, 2)
+        # formulation carried 2- and 4-lane minormost axes, each padded
+        # to 128 lanes physically (~25 ms/step of 'data formatting' at
+        # Box2Mask LSJ shapes, profiled). Channel order stays mmcv's
+        # [head][level][point][xy] so checkpoints convert unchanged.
+        offT = offsets.transpose(0, 2, 1)       # (b, h*nl*p*2, l)
+        attT = attn.transpose(0, 2, 1).astype(jnp.float32)
+
+        # softmax over each head's nl*p logits, channel-major: the
+        # per-query GLOBAL max is subtracted instead of the per-head
+        # max — mathematically identical (a per-query constant cancels
+        # in numerator and denominator) — and the per-head sums ride a
+        # block-diagonal 0/1 matmul instead of a minormost-12 reshape
+        m = attT.max(axis=1, keepdims=True)
+        e = jnp.exp(attT - m)
+        same_head = np.kron(np.eye(h, dtype=np.float32),
+                            np.ones((nl * npnt, nl * npnt), np.float32))
+        den = jnp.einsum('cd,bdl->bcl', jnp.asarray(same_head), e)
+        attnT = e / den                         # (b, h*nl*p, l)
 
         # split the value into levels
         sizes = [int(hh * ww) for hh, ww in spatial_shapes]
         starts = np.cumsum([0] + sizes)
+        grids = tuple(tuple(sh) for sh in spatial_shapes)
 
-        # heads fold into the gather batch: 4 flat gathers per level
-        # instead of a python loop over heads (8 heads x 4 corners of
-        # ~0.6 ms-latency gather ops each; profiled >0.5 s/step at LSJ
-        # sizes). The weight+reduce stays elementwise on the VPU.
-        # msda_sample_psum carries a custom VJP whose d(value) runs as
-        # a windowed one-hot-matmul Pallas kernel on TPU (the XLA
-        # scatter backward was ~24 ms/layer at LSJ shapes) — see
-        # ops/msda_pallas.py.
-        from ...ops.msda_pallas import msda_sample_psum
+        # heads fold into the gather batch; samples go to the P-MAJOR
+        # flat sampler (ops/msda_pallas.py msda_sample_psum_pm), whose
+        # custom VJP runs d(value) as a windowed one-hot-matmul Pallas
+        # kernel on TPU (the XLA scatter backward was ~24 ms/layer at
+        # LSJ shapes).
+        from ...ops.msda_pallas import msda_sample_psum_pm
+        ref_x = jnp.tile(reference_points[..., 0], (1, npnt))  # (b, pl)
+        ref_y = jnp.tile(reference_points[..., 1], (1, npnt))
+
+        def flat_pm(t, chan_idx):
+            """(b, C, l) channel rows -> (b, h, p*l) p-major planes."""
+            g = jnp.take(t, jnp.asarray(chan_idx.reshape(-1)), axis=1)
+            return g.reshape(b * h, npnt, l).reshape(b, h, npnt * l)
+
         out = jnp.zeros((b, l, h, d), v.dtype)
         for lvl, (hh, ww) in enumerate(spatial_shapes):
             vl = v[:, starts[lvl]:starts[lvl + 1]]
             vl = vl.reshape(b, hh, ww, h, d).transpose(0, 3, 1, 2, 4)
             vl = vl.reshape(b * h, hh, ww, d)
-            # normalized sampling locations for this level
-            loc = reference_points[:, :, None, None, :] + \
-                offsets[:, :, :, lvl] / jnp.asarray(
-                    [ww, hh], jnp.float32)                 # (b,l,h,p,2)
-            loc = loc.transpose(0, 2, 1, 3, 4).reshape(
-                b * h, l, npnt, 2)
-            # attention weights fold into the sampler's per-sample corner
-            # weights — ONE mul+reduce pass over the gathered rows; the
-            # final p-sum is elementwise (an einsum here is a (4, d)
-            # matvec batched over b*h*l — MXU-hostile, measured 2x slower
-            # end-to-end)
-            w_hp = attn[:, :, :, lvl].transpose(0, 2, 1, 3) \
-                .reshape(b * h, l, npnt)
-            smp = msda_sample_psum(
-                vl, loc[..., 0], loc[..., 1],
-                w_hp.astype(jnp.float32),
-                tuple(tuple(sh) for sh in spatial_shapes))
+            # mmcv channel order: ((head*nl + lvl)*p + pp)*2 + coord
+            rows = (np.arange(h)[:, None] * (nl * npnt)
+                    + lvl * npnt + np.arange(npnt)[None, :])   # (h, p)
+            off_x = flat_pm(offT, 2 * rows).astype(jnp.float32)
+            off_y = flat_pm(offT, 2 * rows + 1).astype(jnp.float32)
+            lx = (ref_x[:, None] + off_x / ww).reshape(b * h, -1)
+            ly = (ref_y[:, None] + off_y / hh).reshape(b * h, -1)
+            w_pm = flat_pm(attnT, rows).reshape(b * h, -1)
+            smp = msda_sample_psum_pm(vl, lx, ly, w_pm, grids, npnt)
             out = out + smp.reshape(b, h, l, d).transpose(0, 2, 1, 3)
         out = out.reshape(b, l, c)
         return Dense(c, name='output_proj')(out)

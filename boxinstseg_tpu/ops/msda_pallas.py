@@ -958,3 +958,239 @@ def _bwd(query_grids, res, g):
 
 
 _msda_sample_psum.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------
+# P-MAJOR flat-sample entry
+#
+# Sample order n = bhi*(P*L) + pp*L + qq (point-major). The caller
+# (models/utils/transformer.py MultiScaleDeformableAttention) produces
+# loc_x/loc_y/weight DIRECTLY in this layout from the transposed
+# offset/attention projections — p-major is the one flattening a
+# (b, l, h, p, 2)-free producer can emit without interleaving the
+# 4-point axis into lanes. Benefits over the (query, point) order:
+#   * no (BH, L, P)/(..., 2)-minormost intermediates anywhere (a 4- or
+#     2-lane minormost axis pads to 128 lanes physically — ~25 ms/step
+#     of 'data formatting' at Box2Mask LSJ shapes, profiled);
+#   * per-sample grads g broadcast to samples by a FREE leading-axis
+#     broadcast (p-minor needed a sublane `jnp.repeat`);
+#   * the point-sum is a leading-axis reduce, not a (s//p, p) split.
+# The d(patch) one-hot kernel is order-agnostic; only its static visit
+# schedule changes (runs per (point, section) instead of per section).
+# --------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _visit_tables_pm(bh: int, h: int, w: int,
+                     query_grids: Tuple[Tuple[int, int], ...], p: int,
+                     ch: int, rng_: int, marg_rows: int):
+    """d(patch) visit schedule for the P-MAJOR sample order.
+
+    Eligible when ``ch`` divides every query-section size (chunk
+    windows then never cross a (point, section) run boundary: every
+    run start bhi*L*P + pp*L + a_off[a] is a multiple of ch)."""
+    ph, pw = h + 1, w + 1
+    cells = ph * pw
+    sizes = [gh * gw for gh, gw in query_grids]
+    if any(sz % ch for sz in sizes):
+        return None
+    l_tot = sum(sizes)
+    n = bh * l_tot * p
+    rng_ = min(rng_, -(-cells // 128) * 128)
+    marg = marg_rows * pw
+    nr = -(-cells // rng_)
+
+    bases = []
+    for (gh, gw) in query_grids:
+        qy, qx = np.mgrid[0:gh, 0:gw]
+        ry = ((qy + 0.5) / gh).astype(np.float32) * np.float32(h) \
+            - np.float32(0.5)
+        rx = ((qx + 0.5) / gw).astype(np.float32) * np.float32(w) \
+            - np.float32(0.5)
+        py = np.floor(ry).astype(np.int64) + 1
+        px = np.floor(rx).astype(np.int64) + 1
+        bases.append((py * pw + px).reshape(-1))
+    a_off = np.cumsum([0] + sizes)
+
+    vk, vs, vbase, vzero = [], [], [], []
+    lo_s = np.full(n, 2**30, np.int64)
+    hi_s = np.full(n, -1, np.int64)
+    nk = bh * nr
+    for bhi in range(bh):
+        for r in range(nr):
+            k = bhi * nr + r
+            first = True
+            for pp in range(p):
+                for a, bq in enumerate(bases):
+                    sel = np.nonzero((bq >= r * rng_ - marg) &
+                                     (bq < (r + 1) * rng_ + marg))[0]
+                    if sel.size == 0:
+                        continue
+                    run0 = bhi * l_tot * p + pp * l_tot + a_off[a]
+                    s0 = max(((run0 + sel[0]) // ch) * ch, run0)
+                    s1 = run0 + sel[-1] + 1
+                    nchunks = -(-(s1 - s0) // ch)
+                    assert s0 + nchunks * ch <= run0 + sizes[a]
+                    for j in range(nchunks):
+                        vk.append(k)
+                        vs.append(s0 // ch + j)
+                        vbase.append(r * rng_)
+                        vzero.append(1 if first else 0)
+                        first = False
+                    send = s0 + nchunks * ch
+                    lo_s[s0:send] = np.minimum(lo_s[s0:send], r * rng_)
+                    hi_s[s0:send] = np.maximum(hi_s[s0:send],
+                                               (r + 1) * rng_)
+            if first:
+                vk.append(k); vs.append(0)
+                vbase.append(-2**20); vzero.append(1)
+    return dict(
+        vk=np.asarray(vk, np.int32), vs=np.asarray(vs, np.int32),
+        vbase=np.asarray(vbase, np.int32),
+        vzero=np.asarray(vzero, np.int32),
+        lo=lo_s.astype(np.int32), hi=hi_s.astype(np.int32),
+        nr=nr, rng=rng_, nk=nk, cells=cells)
+
+
+def _sample_flat_pm(value, loc_x, loc_y, weight, p):
+    """XLA forward for p-major flat samples: relayout-free tail + a
+    leading-axis point sum. Same product contract as _sample_psum_ref's
+    tail (bf16 products when value is bf16)."""
+    b = value.shape[0]
+    c = value.shape[-1]
+    flat, idx_local, base_bh, (wx, wy, ok) = _corner_geom(
+        value, loc_x, loc_y)
+    s = idx_local.shape[1]
+    rows = _take_rows_grouped(flat, idx_local, base_bh, b, s, 4 * c)
+    w4 = _corner_w4(wx, wy, ok, weight)
+    w4t = jnp.dot(w4.reshape(b * s, 4).astype(rows.dtype),
+                  jnp.asarray(_corner_expand_mat(c)).astype(rows.dtype),
+                  preferred_element_type=rows.dtype)        # (N, 4c)
+    prod = rows * w4t
+    out = jnp.dot(prod, jnp.asarray(_corner_fold_mat(c)).astype(
+        prod.dtype), preferred_element_type=jnp.float32)    # (N, c) f32
+    return out.reshape(b, p, s // p, c).sum(axis=1).astype(value.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _msda_sample_psum_pm(value, loc_x, loc_y, weight, query_grids, p):
+    return _sample_flat_pm(value, loc_x, loc_y, weight, p)
+
+
+def _pm_fwd(value, loc_x, loc_y, weight, query_grids, p):
+    out = _msda_sample_psum_pm(value, loc_x, loc_y, weight,
+                               query_grids, p)
+    return out, (value, loc_x, loc_y, weight)
+
+
+def _pm_bwd(query_grids, p, res, g):
+    value, loc_x, loc_y, weight = res
+    bh, h, w, c = value.shape
+    s = loc_x.shape[1]
+    l = s // p
+    idxp, w4, (wx, wy, ok) = _geom2(value.shape, loc_x, loc_y, weight)
+    base_bh = (jnp.arange(bh, dtype=jnp.int32)
+               * ((h + 1) * (w + 1)))[:, None]
+    idx = (idxp + base_bh).reshape(-1)
+    g_f = g.astype(jnp.float32)                          # (bh, l, c)
+
+    # ---- rdot: per-sample <rows_k, g> (XLA; flat lane layout) ----
+    patch = bilinear_patch_table(value)
+    flatp = patch.reshape(bh * (h + 1) * (w + 1), 4 * c)
+    rows = _take_rows_grouped(flatp, idxp, base_bh, bh, s, 4 * c)
+    # p-major: per-sample grads are a FREE leading-axis broadcast
+    g_samp = jnp.broadcast_to(
+        g.astype(rows.dtype)[:, None], (bh, p, l, c)).reshape(
+        bh * s, c)                                       # (N, c)
+    g_t = jnp.dot(g_samp,
+                  jnp.asarray(_corner_fold_mat(c).T).astype(rows.dtype),
+                  preferred_element_type=rows.dtype)     # (N, 4c)
+    prod = rows * g_t
+    rdot = jnp.dot(prod,
+                   jnp.asarray(_corner_seg_mat(c)).astype(prod.dtype),
+                   preferred_element_type=jnp.float32).reshape(
+        bh, s, 4)                                        # (BH, S, 4)
+
+    okf = ok.astype(jnp.float32)
+    okw = (okf * weight).astype(jnp.float32)
+    cw = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
+                    wy * (1 - wx), wy * wx], axis=-1)    # (BH, S, 4)
+    d_weight = (okf * (cw * rdot).sum(-1)).astype(weight.dtype)
+    d_wx = okw * ((1 - wy) * (rdot[..., 1] - rdot[..., 0])
+                  + wy * (rdot[..., 3] - rdot[..., 2]))
+    d_wy = okw * ((1 - wx) * (rdot[..., 2] - rdot[..., 0])
+                  + wx * (rdot[..., 3] - rdot[..., 1]))
+    d_loc_x = (d_wx * w).astype(loc_x.dtype)
+    d_loc_y = (d_wy * h).astype(loc_y.dtype)
+
+    # ---- d(value) via d(patch) ----
+    eligible = (_MODE in ('all', 'dvalue') or _FORCE_INTERPRET) \
+        and (c % 32 == 0) and (_on_tpu() or _FORCE_INTERPRET) \
+        and sum(gh * gw for gh, gw in query_grids) == l
+    tables = _visit_tables_pm(bh, h, w, query_grids, p, CH, RNG,
+                              MARGIN_ROWS) if eligible else None
+
+    def xla_dpatch(_, quantize=False):
+        # exactness twin of the kernel path: g -> bf16, w4 -> bf16,
+        # w4*g single-rounded to bf16, f32 scatter accumulation
+        g_u = g_f.astype(jnp.bfloat16).astype(jnp.float32) \
+            if quantize else g_f
+        w4_u = w4.astype(jnp.bfloat16).astype(jnp.float32) \
+            if quantize else w4.astype(jnp.float32)
+        g_us = jnp.broadcast_to(g_u[:, None], (bh, p, l, c)).reshape(
+            bh, s, c)
+        u = (w4_u[..., None] * g_us[:, :, None, :]).reshape(
+            bh * s, 4 * c)
+        if quantize:
+            u = u.astype(jnp.bfloat16).astype(jnp.float32)
+        return jnp.zeros((bh * (h + 1) * (w + 1), 4 * c), jnp.float32
+                         ).at[idx].add(u).reshape(
+            bh, (h + 1) * (w + 1), 4 * c)
+
+    if tables is None:
+        d_patch = xla_dpatch(None)
+    else:
+        idx_flat = idxp.reshape(1, bh * s)
+        lo = jnp.asarray(tables['lo'])
+        hi = jnp.asarray(tables['hi'])
+        in_window = jnp.all((idx_flat[0] >= lo) & (idx_flat[0] < hi))
+
+        def fast(_):
+            # same bf16 update-row contract as the p-minor fast path
+            w4t = jnp.dot(w4.reshape(bh * s, 4).astype(jnp.bfloat16),
+                          jnp.asarray(_corner_expand_mat(c)).astype(
+                              jnp.bfloat16),
+                          preferred_element_type=jnp.bfloat16)
+            g_tb = jnp.dot(g_samp.astype(jnp.bfloat16),
+                           jnp.asarray(_corner_fold_mat(c).T).astype(
+                               jnp.bfloat16),
+                           preferred_element_type=jnp.bfloat16)
+            u_flat = (w4t.astype(jnp.float32)
+                      * g_tb.astype(jnp.float32)).astype(jnp.bfloat16)
+            return _dpatch_pallas(idx_flat, u_flat, tables, bh, c)
+
+        d_patch = jax.lax.cond(
+            in_window, fast, lambda _: xla_dpatch(None, quantize=True),
+            None)
+
+    dp = d_patch.reshape(bh, h + 1, w + 1, 4, c)
+    d_value = (dp[:, 1:, 1:, 0] + dp[:, 1:, :-1, 1]
+               + dp[:, :-1, 1:, 2] + dp[:, :-1, :-1, 3]
+               ).astype(value.dtype)
+    return (d_value, d_loc_x, d_loc_y, d_weight)
+
+
+_msda_sample_psum_pm.defvjp(_pm_fwd, _pm_bwd)
+
+
+def msda_sample_psum_pm(value, loc_x, loc_y, weight, query_grids,
+                        num_points: int):
+    """Deformable-attention sampling, P-MAJOR flat sample layout.
+
+    value: (BH, H, W, c) one target level, one head's channels;
+    loc_x/loc_y/weight: (BH, P*L) f32 with sample n = pp*L + qq;
+    query_grids: static (h, w) per query section (sum h*w = L).
+    Returns (BH, L, c) = sum_p weight * bilinear_sample(value, loc).
+    """
+    return _msda_sample_psum_pm(value, loc_x, loc_y, weight,
+                                tuple(tuple(g) for g in query_grids),
+                                num_points)

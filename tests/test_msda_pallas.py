@@ -161,3 +161,56 @@ def test_postgather_fwd_kernel_matches_xla_tail(monkeypatch, dtype):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=tol, atol=tol)
+
+
+def _to_pm(a):
+    """(BH, L, P) -> p-major flat (BH, P*L)."""
+    b, l, p = a.shape
+    return jnp.transpose(a, (0, 2, 1)).reshape(b, p * l)
+
+
+@pytest.mark.parametrize('offset_scale', [0.8, 20.0])
+def test_pmajor_entry_matches_pminor_and_oracle(small_kernel_params,
+                                                offset_scale):
+    """The p-major flat entry must agree with the (query, point)-order
+    entry and with plain autodiff through the XLA oracle — both the
+    windowed Pallas d(patch) branch (small offsets) and the scatter
+    fallback (huge offsets)."""
+    rng = np.random.RandomState(0)
+    value, lx, ly, wt = _inputs(rng, offset_scale)
+    tables = mp._visit_tables_pm(BH, H, W, GRIDS, P, mp.CH, mp.RNG,
+                                 mp.MARGIN_ROWS)
+    assert tables is not None
+    cot = jnp.asarray(rng.randn(*_oracle(value, lx, ly, wt).shape)
+                      .astype(np.float32))
+
+    def loss_pm(v, x, y, w):
+        return (mp.msda_sample_psum_pm(
+            v, _to_pm(x), _to_pm(y), _to_pm(w), GRIDS, P) * cot).sum()
+
+    def loss_ref(v, x, y, w):
+        return (_oracle(v, x, y, w) * cot).sum()
+
+    out_pm = mp.msda_sample_psum_pm(value, _to_pm(lx), _to_pm(ly),
+                                    _to_pm(wt), GRIDS, P)
+    out_r = _oracle(value, lx, ly, wt)
+    np.testing.assert_allclose(np.asarray(out_pm), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+
+    g_c = jax.grad(loss_pm, argnums=(0, 1, 2, 3))(value, lx, ly, wt)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(value, lx, ly, wt)
+    for a, b, name in zip(g_c, g_r, ['value', 'loc_x', 'loc_y', 'w']):
+        # _to_pm sits inside loss_pm, so grads arrive in the original
+        # (BH, L, P) shapes for both sides — compare directly
+        atol = 2e-2 if name == 'value' else 2e-3
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=atol,
+            err_msg=f'pm grad mismatch: {name} (offset={offset_scale})')
+
+
+def test_pmajor_visit_tables_cover_all_cells():
+    t = mp._visit_tables_pm(2, 16, 16, ((16, 16), (8, 8)), 4, 32, 128, 2)
+    assert t is not None
+    assert t['nk'] == 2 * t['nr']
+    assert (t['hi'] > 0).all()
+    assert t['vzero'].sum() == t['nk']
