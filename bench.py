@@ -233,6 +233,19 @@ def bench_family(family):
         'step_time_ms': round(1000 * dt / iters, 2),
         'mfu': round(mfu, 4),
     }
+    if family.startswith('box2mask'):
+        # the 8-img/s denominator is derived from CondInst/BoxInst-class
+        # mmdet training (~0.25 s/iter, 16 imgs, 8xA100). Box2Mask is a
+        # MaskFormer-class recipe (deformable-attn pixel decoder +
+        # 9-layer decoder, LSJ 1024^2); that class trains several-fold
+        # slower per GPU (Mask2Former R50: ~4 days on 8 V100s for 50
+        # epochs ~= 1.4 img/s/V100), so the same denominator OVERSTATES
+        # the reference here. Kept anyway — no published wall-clock for
+        # this exact recipe exists to cite a tighter one.
+        rec['baseline_note'] = (
+            'CondInst-class denominator; MaskFormer-class GPU training '
+            'is typically 2-4x slower per device, so vs_baseline is '
+            'conservative for this family')
     if eval_fps is not None:
         rec['eval_fps'] = round(eval_fps, 3)
     # regression gate vs the committed floor (default shapes only — an
