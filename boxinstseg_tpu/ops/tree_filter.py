@@ -312,12 +312,21 @@ def _make_filter(parent, depth, max_depth):
         s_f, s_1 = s[..., :c], s[..., -1:]
         u_f, u_1 = u[..., :c], u[..., -1:]
 
-        gat = jax.vmap(lambda arr, idx: arr[idx])
+        # ONE flat batched parent-gather over the packed [u, u_ab]
+        # table (a vmapped `arr[idx]` serializes per batch element on
+        # TPU — same pitfall documented in ops/mst.py — and four
+        # separate gathers move the same rows four times)
+        bsz, n = parent.shape
+        up = jnp.concatenate([u, u_ab], axis=-1)       # (B, N, 3c+1)
+        offs = (jnp.arange(bsz, dtype=parent.dtype) * n)[:, None]
+        up_par = jnp.take(up.reshape(bsz * n, -1),
+                          (parent + offs).reshape(-1),
+                          axis=0).reshape(up.shape)
         we = w[..., None]
-        d_f = gat(u_f, parent) - we * s_f
-        d_1 = gat(u_1, parent) - we * s_1
-        d_a = gat(u_a, parent) - we * s_a
-        d_b = gat(u_b, parent) - we * s_b
+        d_f = up_par[..., :c] - we * s_f
+        d_1 = up_par[..., c:c + 1] - we * s_1
+        d_a = up_par[..., c + 1:2 * c + 1] - we * s_a
+        d_b = up_par[..., 2 * c + 1:] - we * s_b
 
         dw = (s_a * d_f + d_a * s_f - s_b * d_1 - d_b * s_1).sum(-1)
         dw = jnp.where(depth == 0, 0.0, dw)
