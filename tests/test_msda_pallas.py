@@ -214,3 +214,37 @@ def test_pmajor_visit_tables_cover_all_cells():
     assert t['nk'] == 2 * t['nr']
     assert (t['hi'] > 0).all()
     assert t['vzero'].sum() == t['nk']
+
+
+@pytest.mark.parametrize('dy_rows', [0.5, 6.5, 40.0])
+def test_pmajor_margin_tiers(small_kernel_params, monkeypatch, dy_rows):
+    """Two-tier static window: constant vertical offsets of 0.5 rows
+    (tight margin-5 schedule), 6.5 rows (escapes tight, fits the
+    margin-8 schedule) and 40 rows (escapes both -> exact XLA scatter)
+    must all match the autodiff oracle."""
+    monkeypatch.setattr(mp, 'MARGIN_ROWS', 8)
+    rng = np.random.RandomState(1)
+    value, lx, ly, wt = _inputs(rng, 0.0)     # offsets = 0 at refs
+    ly = ly + dy_rows / H                      # constant row offset
+    cot = jnp.asarray(rng.randn(*_oracle(value, lx, ly, wt).shape)
+                      .astype(np.float32))
+
+    def loss_pm(v, x, y, w):
+        return (mp.msda_sample_psum_pm(
+            v, _to_pm(x), _to_pm(y), _to_pm(w), GRIDS, P) * cot).sum()
+
+    def loss_ref(v, x, y, w):
+        return (_oracle(v, x, y, w) * cot).sum()
+
+    out_pm = mp.msda_sample_psum_pm(value, _to_pm(lx), _to_pm(ly),
+                                    _to_pm(wt), GRIDS, P)
+    np.testing.assert_allclose(
+        np.asarray(out_pm), np.asarray(_oracle(value, lx, ly, wt)),
+        rtol=1e-5, atol=1e-5)
+    g_c = jax.grad(loss_pm, argnums=(0, 1, 2, 3))(value, lx, ly, wt)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(value, lx, ly, wt)
+    for a, b, name in zip(g_c, g_r, ['value', 'loc_x', 'loc_y', 'w']):
+        atol = 2e-2 if name == 'value' else 2e-3
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=atol,
+            err_msg=f'tier grad mismatch: {name} (dy={dy_rows})')
