@@ -26,6 +26,8 @@ import boxinstseg_tpu  # noqa: F401
 
 from test_integration import make_dataset, H, W, NUM_CLASSES
 
+
+pytestmark = pytest.mark.slow
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

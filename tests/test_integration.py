@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow
 H, W = 128, 160
 NUM_CLASSES = 4
 

@@ -9,10 +9,14 @@ Calibration on this harness (8-device CPU mesh, seed 0): 150 iters of
 global-batch-8 SGD reach segm mAP 0.606 / mAP50 0.797 / bbox mAP50 1.0;
 the asserted thresholds leave ~2x margin.
 """
+
 import json
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import boxinstseg_tpu  # noqa: F401
 from boxinstseg_tpu.config import Config

@@ -20,6 +20,9 @@ from boxinstseg_tpu.config import Config
 from test_learning import make_dataset, H, W, NUM_CLASSES
 
 
+
+pytestmark = pytest.mark.slow
+
 def _train_and_eval(tmp_path, mcfg, optimizer, optimizer_config,
                     max_iters, warmup_iters=20, extra_cfg=None,
                     eval_batch=2, overlap=True):

@@ -34,6 +34,8 @@ import pytest
 import boxinstseg_tpu  # noqa: F401
 from boxinstseg_tpu.config import Config
 
+
+pytestmark = pytest.mark.slow
 H, W = 96, 128
 NUM_CLASSES = 3
 COLORS = [(215, 60, 60), (60, 215, 60), (70, 70, 215)]

@@ -17,6 +17,9 @@ import pytest
 from test_integration import make_dataset, H, W, NUM_CLASSES
 
 
+
+pytestmark = pytest.mark.slow
+
 def _free_port():
     s = socket.socket()
     s.bind(('127.0.0.1', 0))
