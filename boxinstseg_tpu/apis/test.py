@@ -74,6 +74,31 @@ def format_detection(out: Dict, i: int, img_shape, ori_shape,
     valid = out['valid'][i]
     labels = out['labels'][i][valid]
     scores = out['scores'][i][valid]
+    pan_results = None
+    if 'pan_cls' in out and (test_cfg or {}).get('panoptic_on', False):
+        # finish the panoptic fusion at original resolution (reference
+        # maskformer_fusion_head.py simple_test :211-226 interpolates
+        # the per-query logits to ori_shape, then panoptic_postprocess)
+        import cv2
+        from ..models.detectors.maskformer import panoptic_postprocess
+        ih, iw = int(img_shape[0]), int(img_shape[1])
+        oh, ow = int(ori_shape[0]), int(ori_shape[1])
+        ups = []
+        for m in np.asarray(out['pan_masks_logit'][i], np.float32):
+            full = cv2.resize(m, None, fx=4, fy=4,
+                              interpolation=cv2.INTER_LINEAR)[:ih, :iw]
+            ups.append(cv2.resize(full, (ow, oh),
+                                  interpolation=cv2.INTER_LINEAR))
+        fusion = dict(test_cfg.get('panoptic_fusion', {}))
+        pan_results = np.asarray(panoptic_postprocess(
+            np.asarray(out['pan_cls'][i], np.float32),
+            np.stack(ups),
+            num_things_classes=int(fusion.get('num_things_classes', 80)),
+            num_stuff_classes=int(fusion.get('num_stuff_classes', 53)),
+            object_mask_thr=float(test_cfg.get('object_mask_thr', 0.8)),
+            iou_thr=float(test_cfg.get('iou_thr', 0.8)),
+            filter_low_score=bool(test_cfg.get('filter_low_score',
+                                               False))))
     if 'masks_logit' in out:
         # MaskFormer/Box2Mask family: finish the reference fusion-head
         # chain on the host — interpolate LOGITS to padded input res,
@@ -119,9 +144,12 @@ def format_detection(out: Dict, i: int, img_shape, ori_shape,
                                 ys.max() + 1]
             boxes[d, 4] = scores[d]
     from ..core.structures import InstanceData
+    meta = dict(img_shape=tuple(int(v) for v in img_shape),
+                ori_shape=tuple(int(v) for v in ori_shape))
+    if pan_results is not None:
+        meta['pan_results'] = pan_results
     return InstanceData(
-        metainfo=dict(img_shape=tuple(int(v) for v in img_shape),
-                      ori_shape=tuple(int(v) for v in ori_shape)),
+        metainfo=meta,
         bboxes=boxes.astype(np.float64),
         labels=labels.astype(np.int64), masks=masks)
 
@@ -210,14 +238,22 @@ def run_evaluation(model, variables, dataset, cfg,
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if k in ('image', 'img_shape', 'scale_factor')}
         out = jax.device_get(predict(variables, jb))
-        test_cfg = (cfg.model.get('test_cfg', {}) or {}) \
-            if hasattr(cfg, 'model') else {}
+        test_cfg = dict((cfg.model.get('test_cfg', {}) or {})
+                        if hasattr(cfg, 'model') else {})
+        if hasattr(cfg, 'model') and cfg.model.get('panoptic_fusion_head'):
+            # class split for the host-side panoptic fusion (reference
+            # builds the fusion head from this config node)
+            test_cfg['panoptic_fusion'] = dict(
+                cfg.model['panoptic_fusion_head'])
         for i in range(real):
             det = format_detection(out, i, metas[i]['img_shape'][:2],
                                    metas[i]['ori_shape'][:2], test_cfg)
-            results.append(dict(
+            rec = dict(
                 bboxes=det['bboxes'], labels=det['labels'],
-                masks=[rle_encode(m) for m in det['masks']]))
+                masks=[rle_encode(m) for m in det['masks']])
+            if 'pan_results' in det.metainfo:
+                rec['pan_results'] = det.metainfo['pan_results']
+            results.append(rec)
         n_done += real
         if n_done % (20 * b) < b:
             logger.info(f'eval: {n_done}/{len(my_indices)} (proc {rank})')

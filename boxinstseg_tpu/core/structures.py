@@ -125,6 +125,11 @@ class InstanceData:
             return self._meta[key]
         raise AttributeError(key)
 
+    @property
+    def metainfo(self) -> Dict:
+        """Meta dict (reference GeneralData.metainfo property)."""
+        return self._meta
+
     def __len__(self):
         for v in self._fields.values():
             return len(v)

@@ -13,6 +13,7 @@ mmdet/models/losses/levelset_loss.py:8-127) in jnp:
 """
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -170,7 +171,11 @@ class LocalConsistencyModule:
         offsets = self._offsets()
         num_iter = self.num_iter
 
-        if jax.default_backend() == 'tpu':
+        from ...ops.msda_pallas import _on_tpu
+        if _on_tpu() and os.environ.get('LCM_PALLAS', '1') != '0':
+            # same backend gate as the MSDA kernels (not-cpu/gpu, so
+            # non-'tpu'-named TPU PJRT platforms still dispatch here);
+            # LCM_PALLAS=0 forces the XLA scan for on-TPU debugging
             # VMEM-resident refinement: the XLA scan re-reads the full
             # (L*K, H, W) state through two clamped-index gathers per
             # offset per round (~6 GB of gather traffic each way at

@@ -223,7 +223,11 @@ class MultiScaleDeformableAttention(nn.Module):
         same_head = np.kron(np.eye(h, dtype=np.float32),
                             np.ones((nl * npnt, nl * npnt), np.float32))
         den = jnp.einsum('cd,bdl->bcl', jnp.asarray(same_head), e)
-        attnT = e / den                         # (b, h*nl*p, l)
+        # clamp: if one head's logits sit ~88+ below the per-query
+        # global max, numerator AND denominator underflow to 0 in f32
+        # and 0/0 would NaN-poison training (the per-head-max softmax
+        # this replaced guaranteed den >= 1)
+        attnT = e / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
 
         # split the value into levels
         sizes = [int(hh * ww) for hh, ww in spatial_shapes]

@@ -141,6 +141,33 @@ def test_instance_postprocess_shapes(setup):
     assert np.all(res.bboxes[:, 4] >= 0) and np.all(res.bboxes[:, 4] <= 1)
 
 
+def test_panoptic_on_predict_path(setup):
+    """With test_cfg.panoptic_on, predict carries the raw per-query
+    outputs and format_detection emits a pan_results map (reference
+    maskformer_fusion_head.py simple_test :201-226 + panoptic
+    postprocess :28-93)."""
+    model, variables, batch = setup
+    cfg = tiny_cfg()
+    cfg['test_cfg'] = dict(cfg['test_cfg'], panoptic_on=True)
+    pan_model = build_detector(cfg)
+    out = jax.jit(lambda v, b: pan_model.apply(
+        v, b, method=pan_model.predict))(variables, batch)
+    assert out['pan_cls'].shape == (2, Q, NUM_CLASSES + 1)
+    assert out['pan_masks_logit'].shape == (2, Q, H // 4, W // 4)
+
+    from boxinstseg_tpu.apis.test import format_detection
+    test_cfg = dict(panoptic_on=True, object_mask_thr=0.0, iou_thr=0.0,
+                    panoptic_fusion=dict(num_things_classes=NUM_CLASSES,
+                                         num_stuff_classes=0))
+    res = format_detection(jax.tree_util.tree_map(np.asarray, out), 0,
+                           (H, W), (H, W), test_cfg)
+    pan = res.metainfo['pan_results']
+    assert pan.shape == (H, W) and pan.dtype == np.int32
+    # every value is void (num_classes) or label + k*INSTANCE_OFFSET
+    labs = np.unique(pan) % 1000
+    assert np.all((labs <= NUM_CLASSES))
+
+
 def test_swin_backbone_shapes():
     from boxinstseg_tpu.models.backbones.swin import SwinTransformer
     model = SwinTransformer(embed_dims=32, depths=(1, 1, 2, 1),

@@ -120,14 +120,14 @@ def make_textured_dataset(root, n_images=8, seed=0):
     return ann_file, img_dir
 
 
-def _train_and_eval(tmp_path, tag, color_ablated):
+def _train_and_eval(tmp_path, tag, color_ablated, seed=0):
     from boxinstseg_tpu.registry import build_dataset, build_detector
     from boxinstseg_tpu.apis.train import train_detector
     from boxinstseg_tpu.apis.test import run_evaluation
     from test_boxinst_model import tiny_boxinst_cfg
 
     ann_file, img_dir = make_textured_dataset(
-        os.path.join(str(tmp_path), 'data'))
+        os.path.join(str(tmp_path), f'data_s{seed}'), seed=seed)
     img_norm = dict(mean=[123.675, 116.28, 103.53],
                     std=[58.395, 57.12, 57.375], to_rgb=True)
     pipeline = [
@@ -180,7 +180,7 @@ def _train_and_eval(tmp_path, tag, color_ablated):
         runner=dict(type='IterBasedRunner', max_iters=250),
         checkpoint_config=dict(interval=10000),
         log_config=dict(interval=50),
-        canvases=[(H, W)], max_gts=8, seed=0,
+        canvases=[(H, W)], max_gts=8, seed=seed,
         work_dir=os.path.join(str(tmp_path), f'work_{tag}'),
     ))
     model = build_detector(cfg.model.copy())
@@ -192,14 +192,23 @@ def _train_and_eval(tmp_path, tag, color_ablated):
 
 
 def test_color_pairwise_beats_projection_only(tmp_path):
-    # calibrated (8-device CPU mesh, seed 0): full 0.711 segm mAP /
-    # ablated 0.274 — box-ish masks cap at mAP75 0.138 on varied
-    # shapes while color-carved masks reach 1.0. Thresholds leave
-    # ~1.5x margin on both the absolute floor and the gap.
-    full = _train_and_eval(tmp_path, 'full', color_ablated=False)
-    abl = _train_and_eval(tmp_path, 'ablated', color_ablated=True)
+    # calibrated (8-device CPU mesh): per-seed full/ablated segm mAP
+    # seed 0: 0.711 / 0.274, and the gap is asserted on the MEDIAN over
+    # three seeds so one unlucky draw flakes neither way (r4 VERDICT
+    # weak #6: the single-seed gate sat ~1.5x above the thresholds).
+    # Thresholds unchanged from the single-seed calibration.
+    seeds = (0, 1, 2)
+    full = [_train_and_eval(tmp_path, f'full_s{s}', color_ablated=False,
+                            seed=s) for s in seeds]
+    abl = [_train_and_eval(tmp_path, f'ablated_s{s}', color_ablated=True,
+                           seed=s) for s in seeds]
+
+    def med(rs, key):
+        return float(np.median([r[key] for r in rs]))
+
     # the color-affinity path must demonstrably refine masks beyond the
     # box bitmask: a broken Lab / similarity stencil erases the gap
-    assert full['segm_mAP'] >= abl['segm_mAP'] + 0.15, (full, abl)
-    assert full['segm_mAP'] >= 0.45, (full, abl)
-    assert full['bbox_mAP_50'] >= 0.7, full
+    assert med(full, 'segm_mAP') >= med(abl, 'segm_mAP') + 0.15, \
+        (full, abl)
+    assert med(full, 'segm_mAP') >= 0.45, (full, abl)
+    assert med(full, 'bbox_mAP_50') >= 0.7, full
