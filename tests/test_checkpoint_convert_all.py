@@ -194,102 +194,105 @@ def test_discobox_checkpoint_roundtrip():
     _roundtrip(tiny_cfg(), lambda: _batch('test_discobox_model'), build_sd)
 
 
-def test_box2mask_checkpoint_roundtrip():
-    from test_box2mask_model import tiny_cfg
+def _rev_mha(sd, prefix, tree):
+    q = _lt(tree['q_proj']['kernel'])
+    k = _lt(tree['k_proj']['kernel'])
+    v = _lt(tree['v_proj']['kernel'])
+    sd[f'{prefix}.attn.in_proj_weight'] = np.concatenate([q, k, v], 0)
+    sd[f'{prefix}.attn.in_proj_bias'] = np.concatenate(
+        [np.asarray(tree['q_proj']['bias']),
+         np.asarray(tree['k_proj']['bias']),
+         np.asarray(tree['v_proj']['bias'])], 0)
+    sd[f'{prefix}.attn.out_proj.weight'] = _lt(
+        tree['out_proj']['kernel'])
+    sd[f'{prefix}.attn.out_proj.bias'] = np.asarray(
+        tree['out_proj']['bias'])
 
-    def _rev_mha(sd, prefix, tree):
-        q = _lt(tree['q_proj']['kernel'])
-        k = _lt(tree['k_proj']['kernel'])
-        v = _lt(tree['v_proj']['kernel'])
-        sd[f'{prefix}.attn.in_proj_weight'] = np.concatenate([q, k, v], 0)
-        sd[f'{prefix}.attn.in_proj_bias'] = np.concatenate(
-            [np.asarray(tree['q_proj']['bias']),
-             np.asarray(tree['k_proj']['bias']),
-             np.asarray(tree['v_proj']['bias'])], 0)
-        sd[f'{prefix}.attn.out_proj.weight'] = _lt(
-            tree['out_proj']['kernel'])
-        sd[f'{prefix}.attn.out_proj.bias'] = np.asarray(
-            tree['out_proj']['bias'])
-
-    def _rev_linear(sd, prefix, tree):
-        sd[f'{prefix}.weight'] = _lt(tree['kernel'])
-        if 'bias' in tree:
-            sd[f'{prefix}.bias'] = np.asarray(tree['bias'])
-
-    def _rev_norm(sd, prefix, tree):
-        sd[f'{prefix}.weight'] = np.asarray(tree['scale'])
+def _rev_linear(sd, prefix, tree):
+    sd[f'{prefix}.weight'] = _lt(tree['kernel'])
+    if 'bias' in tree:
         sd[f'{prefix}.bias'] = np.asarray(tree['bias'])
 
-    def build_sd(params, stats):
-        sd = {}
-        _rev_resnet(sd, params['backbone_m'], stats['backbone_m'])
-        hp = params['panoptic_head_m']
-        pdp = hp['pixel_decoder']
-        for name, sub in pdp.items():
-            if name.startswith('input_conv_'):
-                i = name.split('_')[-1]
-                _rev_convmodule(sd, f'panoptic_head.pixel_decoder.'
-                                    f'input_convs.{i}', sub)
-            elif name.startswith('lateral_conv_'):
-                i = name.split('_')[-1]
-                _rev_convmodule(sd, f'panoptic_head.pixel_decoder.'
-                                    f'lateral_convs.{i}', sub)
-            elif name.startswith('output_conv_'):
-                i = name.split('_')[-1]
-                _rev_convmodule(sd, f'panoptic_head.pixel_decoder.'
-                                    f'output_convs.{i}', sub)
-            elif name == 'level_encoding':
-                sd['panoptic_head.pixel_decoder.level_encoding.weight'] = \
-                    np.asarray(sub)
-            elif name == 'mask_feature':
-                _rev_plain_conv(
-                    sd, 'panoptic_head.pixel_decoder.mask_feature', sub)
-            elif name.startswith('encoder_layer_'):
-                li = name.split('_')[-1]
-                b = f'panoptic_head.pixel_decoder.encoder.layers.{li}'
-                for pn in ('sampling_offsets', 'attention_weights',
-                           'value_proj', 'output_proj'):
-                    _rev_linear(sd, f'{b}.attentions.0.{pn}',
-                                sub['attn'][pn])
-                _rev_linear(sd, f'{b}.ffns.0.layers.0.0', sub['ffn']['fc1'])
-                _rev_linear(sd, f'{b}.ffns.0.layers.1', sub['ffn']['fc2'])
-                _rev_norm(sd, f'{b}.norms.0', sub['norm1'])
-                _rev_norm(sd, f'{b}.norms.1', sub['norm2'])
-            else:
-                raise AssertionError(f'unmapped pixel decoder {name}')
-        for name, sub in hp.items():
-            if name == 'pixel_decoder':
-                continue
-            if name.startswith('decoder_layer_'):
-                li = name.split('_')[-1]
-                b = f'panoptic_head.transformer_decoder.layers.{li}'
-                _rev_mha(sd, f'{b}.attentions.0', sub['cross_attn'])
-                _rev_mha(sd, f'{b}.attentions.1', sub['self_attn'])
-                _rev_linear(sd, f'{b}.ffns.0.layers.0.0', sub['ffn']['fc1'])
-                _rev_linear(sd, f'{b}.ffns.0.layers.1', sub['ffn']['fc2'])
-                _rev_norm(sd, f'{b}.norms.0', sub['norm1'])
-                _rev_norm(sd, f'{b}.norms.1', sub['norm2'])
-                _rev_norm(sd, f'{b}.norms.2', sub['norm3'])
-            elif name == 'post_norm':
-                _rev_norm(sd, 'panoptic_head.transformer_decoder.post_norm',
-                          sub)
-            elif name in ('query_embed', 'query_feat', 'level_embed'):
-                sd[f'panoptic_head.{name}.weight'] = np.asarray(sub)
-            elif name == 'cls_embed':
-                _rev_linear(sd, 'panoptic_head.cls_embed', sub)
-            elif name == 'mask_embed_0':
-                _rev_linear(sd, 'panoptic_head.mask_embed.0', sub)
-            elif name == 'mask_embed_1':
-                _rev_linear(sd, 'panoptic_head.mask_embed.2', sub)
-            elif name == 'mask_embed_out':
-                _rev_linear(sd, 'panoptic_head.mask_embed.4', sub)
-            elif name == 'levelset_bottom':
-                _rev_plain_conv(sd, 'panoptic_head.levelset_bottom', sub)
-            else:
-                raise AssertionError(f'unmapped head module {name}')
-        return sd
+def _rev_norm(sd, prefix, tree):
+    sd[f'{prefix}.weight'] = np.asarray(tree['scale'])
+    sd[f'{prefix}.bias'] = np.asarray(tree['bias'])
 
-    _roundtrip(tiny_cfg(), lambda: _batch('test_box2mask_model'), build_sd)
+def build_box2mask_sd(params, stats):
+    sd = {}
+    _rev_resnet(sd, params['backbone_m'], stats['backbone_m'])
+    hp = params['panoptic_head_m']
+    pdp = hp['pixel_decoder']
+    for name, sub in pdp.items():
+        if name.startswith('input_conv_'):
+            i = name.split('_')[-1]
+            _rev_convmodule(sd, f'panoptic_head.pixel_decoder.'
+                                f'input_convs.{i}', sub)
+        elif name.startswith('lateral_conv_'):
+            i = name.split('_')[-1]
+            _rev_convmodule(sd, f'panoptic_head.pixel_decoder.'
+                                f'lateral_convs.{i}', sub)
+        elif name.startswith('output_conv_'):
+            i = name.split('_')[-1]
+            _rev_convmodule(sd, f'panoptic_head.pixel_decoder.'
+                                f'output_convs.{i}', sub)
+        elif name == 'level_encoding':
+            sd['panoptic_head.pixel_decoder.level_encoding.weight'] = \
+                np.asarray(sub)
+        elif name == 'mask_feature':
+            _rev_plain_conv(
+                sd, 'panoptic_head.pixel_decoder.mask_feature', sub)
+        elif name.startswith('encoder_layer_'):
+            li = name.split('_')[-1]
+            b = f'panoptic_head.pixel_decoder.encoder.layers.{li}'
+            for pn in ('sampling_offsets', 'attention_weights',
+                       'value_proj', 'output_proj'):
+                _rev_linear(sd, f'{b}.attentions.0.{pn}',
+                            sub['attn'][pn])
+            _rev_linear(sd, f'{b}.ffns.0.layers.0.0', sub['ffn']['fc1'])
+            _rev_linear(sd, f'{b}.ffns.0.layers.1', sub['ffn']['fc2'])
+            _rev_norm(sd, f'{b}.norms.0', sub['norm1'])
+            _rev_norm(sd, f'{b}.norms.1', sub['norm2'])
+        else:
+            raise AssertionError(f'unmapped pixel decoder {name}')
+    for name, sub in hp.items():
+        if name == 'pixel_decoder':
+            continue
+        if name.startswith('decoder_layer_'):
+            li = name.split('_')[-1]
+            b = f'panoptic_head.transformer_decoder.layers.{li}'
+            _rev_mha(sd, f'{b}.attentions.0', sub['cross_attn'])
+            _rev_mha(sd, f'{b}.attentions.1', sub['self_attn'])
+            _rev_linear(sd, f'{b}.ffns.0.layers.0.0', sub['ffn']['fc1'])
+            _rev_linear(sd, f'{b}.ffns.0.layers.1', sub['ffn']['fc2'])
+            _rev_norm(sd, f'{b}.norms.0', sub['norm1'])
+            _rev_norm(sd, f'{b}.norms.1', sub['norm2'])
+            _rev_norm(sd, f'{b}.norms.2', sub['norm3'])
+        elif name == 'post_norm':
+            _rev_norm(sd, 'panoptic_head.transformer_decoder.post_norm',
+                      sub)
+        elif name in ('query_embed', 'query_feat', 'level_embed'):
+            sd[f'panoptic_head.{name}.weight'] = np.asarray(sub)
+        elif name == 'cls_embed':
+            _rev_linear(sd, 'panoptic_head.cls_embed', sub)
+        elif name == 'mask_embed_0':
+            _rev_linear(sd, 'panoptic_head.mask_embed.0', sub)
+        elif name == 'mask_embed_1':
+            _rev_linear(sd, 'panoptic_head.mask_embed.2', sub)
+        elif name == 'mask_embed_out':
+            _rev_linear(sd, 'panoptic_head.mask_embed.4', sub)
+        elif name == 'levelset_bottom':
+            _rev_plain_conv(sd, 'panoptic_head.levelset_bottom', sub)
+        else:
+            raise AssertionError(f'unmapped head module {name}')
+    return sd
+
+
+
+def test_box2mask_checkpoint_roundtrip():
+    from test_box2mask_model import tiny_cfg
+    _roundtrip(tiny_cfg(), lambda: _batch('test_box2mask_model'),
+               build_box2mask_sd)
+
 
 
 def _batch(mod):
