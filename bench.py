@@ -3,14 +3,18 @@ recipes.
 
 Default (what the driver runs, no env vars): ALL FIVE recipes (the four
 R-50 families + Swin-L Box2Mask), one JSON line each, each in a fresh
-subprocess. The headline BoxInst R-50-FPN 1x recipe RUNS first (so a
-driver timeout can never drop it — the round-4 failure mode) but its
-line PRINTS last so the driver's parsed record stays the full jitted
-BoxInst train step (backbone+FPN+heads+BoxInst losses+SGD) on synthetic
-800x1344 canvases with the reference config's shapes (reference recipe:
-configs/boxinst/boxinst_r50_fpn_1x_coco.py, 2 img/GPU on 8xA100).
-Remaining families run under a BENCH_BUDGET_S wall-clock guard, and
-each family AOT-compiles its step exactly once (see the cache note
+subprocess. All five families compile CONCURRENTLY from abstract shapes
+(the axon compile service parallelizes across client processes) while a
+parent-issued run token serializes the actual timed sections on the
+chip; nothing prints before the headline BoxInst R-50-FPN 1x line is in
+hand, and that line is re-printed after every later family so the
+driver's parsed (last) record is always the full jitted BoxInst train
+step (backbone+FPN+heads+BoxInst losses+SGD) on synthetic 800x1344
+canvases with the reference config's shapes (reference recipe:
+configs/boxinst/boxinst_r50_fpn_1x_coco.py, 2 img/GPU on 8xA100) — at
+ANY external kill point (round 4's rc=124 silently recorded another
+family). A BENCH_BUDGET_S (default 1680 s) guard kills stragglers.
+Each family AOT-compiles its chain exactly once (see the cache note
 below for why the persistent compile cache is NOT used here).
 
 BENCH_MODEL restricts to one family — each is built FROM ITS SHIPPED
@@ -113,8 +117,7 @@ def bench_family(family):
     from boxinstseg_tpu.config import Config
     from boxinstseg_tpu.registry import build_detector
     from boxinstseg_tpu.engine import (build_optimizer, create_train_state,
-                                       init_variables, make_train_step,
-                                       make_ts_train_step,
+                                       make_train_step, make_ts_train_step,
                                        step_lr_schedule)
     from boxinstseg_tpu.models.layers import set_compute_dtype
     from __graft_entry__ import _synth_batch
@@ -154,23 +157,74 @@ def bench_family(family):
         return build_optimizer(opt_cfg, sched, optimizer_config=opt_conf,
                                params_example=variables['params'])
 
+    # ---------------- phase 1: compile everything from ABSTRACT shapes.
+    # No device memory is touched here, so the parallel sweep can run
+    # all five families' compiles CONCURRENTLY (the axon compile service
+    # parallelizes across client processes — measured 3 concurrent
+    # compiles at ~1x solo latency) while the device sits idle for
+    # whichever family holds the run token. paramwise optimizer
+    # construction and TrainState creation work on ShapeDtypeStructs
+    # (they only read tree paths/shapes), so the whole chain —
+    # init -> optimizer -> state -> train step -> eval step — lowers
+    # without materializing a single parameter.
+    import functools
+
+    def _avals(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.result_type(x)), tree)
+
+    rngs = {'params': jax.random.PRNGKey(0)}
+    it0 = jnp.zeros((), jnp.int32)
     if fam['ts']:
         from boxinstseg_tpu.ops.correspondence import create_object_bank
         head = dict(cfg.model['bbox_head'])
         lc = dict(head.get('loss_corr') or {})
         ob = dict(lc.get('obj_bank', {}))
-        bank = create_object_bank(
-            int(head['num_classes']),
-            int(ob.get('len_object_queues', 100)),
-            (int(ob.get('feat_height', 7)), int(ob.get('feat_width', 7))),
-            (int(ob.get('mask_height', 28)), int(ob.get('mask_width', 28))),
-            int(cfg.model['neck']['out_channels'])) if lc else None
-        variables = init_variables(
-            model, {'params': jax.random.PRNGKey(0)}, batch,
-            jnp.zeros((), jnp.int32), None, None, bank, method=model.loss)
-        tx = _tx(variables)
-        state = create_train_state(model, variables, tx, ema=True,
-                                   corr_state=bank)
+
+        def mk_bank():
+            return create_object_bank(
+                int(head['num_classes']),
+                int(ob.get('len_object_queues', 100)),
+                (int(ob.get('feat_height', 7)),
+                 int(ob.get('feat_width', 7))),
+                (int(ob.get('mask_height', 28)),
+                 int(ob.get('mask_width', 28))),
+                int(cfg.model['neck']['out_channels'])) if lc else None
+    else:
+        def mk_bank():
+            return None
+    # the bank stays ABSTRACT through phase 1 (a concrete device array
+    # captured as a closure constant forces a device_get during
+    # lowering — a device RPC inside the compile phase, observed to
+    # block when the tunnel is busy/wedged); it is materialized in
+    # phase 2 and passed as a real ARGUMENT everywhere
+    bank_aval = jax.eval_shape(mk_bank)
+    if fam['ts']:
+        init_args_aval = (_avals(rngs), _avals(batch), _avals(it0),
+                          None, None, bank_aval)
+    else:
+        init_args_aval = (_avals(rngs), _avals(batch), _avals(it0))
+    t_stage = time.perf_counter()
+
+    def _note(msg):
+        nonlocal t_stage
+        now = time.perf_counter()
+        print(f'[bench:{family}] {msg} (+{now - t_stage:.0f}s)',
+              file=sys.stderr, flush=True)
+        t_stage = now
+
+    init_fn = functools.partial(model.init, method=model.loss)
+    vars_aval = jax.eval_shape(init_fn, *init_args_aval)
+    init_exec = jax.jit(init_fn).lower(*init_args_aval).compile()
+    _note('init compiled')
+    tx = _tx(vars_aval)
+    _note('tx built')
+
+    if fam['ts']:
+        def mk_state(variables, bank):
+            return create_train_state(model, variables, tx, ema=True,
+                                      corr_state=bank)
         ts_cfg = dict(cfg.get('ts_cfg', {}))
         step = make_ts_train_step(
             model, tx, mesh=None, donate=True,
@@ -178,19 +232,22 @@ def bench_family(family):
             start_iter=0,           # teacher + gates live in steady state
             ts_thresh=1e9, corr_thresh=1e9)
     else:
-        variables = init_variables(model, {'params': jax.random.PRNGKey(0)},
-                                   batch, jnp.zeros((), jnp.int32),
-                                   method=model.loss)
-        tx = _tx(variables)
-        state = create_train_state(model, variables, tx)
+        def mk_state(variables, bank):
+            del bank
+            return create_train_state(model, variables, tx)
         step = make_train_step(model, tx, mesh=None, donate=True)
+    state_aval = jax.eval_shape(mk_state, vars_aval, bank_aval)
+    mk_state_exec = jax.jit(mk_state).lower(vars_aval, bank_aval).compile()
+    _note('state-init compiled')
+    batch_aval = _avals(batch)
 
     # ONE AOT compile serves warmup, the timed loop AND the MFU cost
     # analysis (the pre-r5 shape called step(...) then later
     # step.lower().compile() inside _step_flops — a SECOND full compile
     # of the same module, ~2-3 min/family on the five-family sweep that
     # blew BENCH_r04's driver budget).
-    compiled = step.lower(state, batch).compile()
+    compiled = step.lower(state_aval, batch_aval).compile()
+    _note('train step compiled')
     flops = 0.0
     try:
         ca = compiled.cost_analysis()
@@ -199,6 +256,43 @@ def bench_family(family):
         flops = float(ca.get('flops', 0.0))
     except Exception:
         pass
+
+    def _eval_vars(src):
+        out = {'params': src['params']}
+        bs = src.get('batch_stats') if hasattr(src, 'get') else None
+        if bs is not None:
+            out['batch_stats'] = bs
+        return out
+
+    eval_on = os.environ.get('BENCH_EVAL', '1') != '0'
+    eval_exec = None
+    if eval_on:
+        from boxinstseg_tpu.engine import make_eval_step
+        estep = make_eval_step(model)
+        eval_exec = estep.lower(_eval_vars(vars_aval),
+                                batch_aval).compile()
+        _note('eval step compiled')
+
+    # ---------------- sync point: under the parallel sweep, announce
+    # readiness and wait for the parent's run token so timed sections
+    # never overlap on the chip (other families are blocked here or in
+    # their compile RPCs — neither touches the device)
+    sync_dir = os.environ.get('BENCH_SYNC_DIR')
+    if sync_dir:
+        with open(os.path.join(sync_dir, family + '.ready'), 'w'):
+            pass
+        go = os.path.join(sync_dir, family + '.go')
+        while not os.path.exists(go):
+            time.sleep(0.5)
+
+    # ---------------- phase 2: materialize and measure
+    _note('run token granted' if sync_dir else 'running inline')
+    bank = mk_bank()
+    init_args = (rngs, batch, it0, None, None, bank) if fam['ts'] \
+        else (rngs, batch, it0)
+    variables = init_exec(*init_args)
+    state = mk_state_exec(variables, bank)
+    _note('state materialized')
 
     # warmup exec.  A host fetch (not block_until_ready) bounds the
     # timed region: some remote-tunnel runtimes acknowledge enqueue
@@ -225,21 +319,19 @@ def bench_family(family):
 
     # eval-path (inference) FPS — reference parity point:
     # tools/analysis_tools/benchmark.py FPS runs. ON by default since r5
-    # (VERDICT r4 #5: eval FPS was README-only); the sweep driver sheds
-    # it (BENCH_EVAL=0) for later families when the wall-clock budget
-    # runs tight.
+    # (VERDICT r4 #5: eval FPS was README-only); its compile overlapped
+    # with the other families' above. BENCH_EVAL=0 disables.
     eval_fps = None
-    if os.environ.get('BENCH_EVAL', '1') != '0':
-        from boxinstseg_tpu.engine import make_eval_step
-        estep = make_eval_step(model)
-        variables = state.variables()
-        out = estep(variables, batch)
+    if eval_exec is not None:
+        variables = _eval_vars(
+            {'params': state.params, 'batch_stats': state.batch_stats})
+        out = eval_exec(variables, batch)
         jax.block_until_ready(out)
         # state-thread the input so tunnel RPC memoization can't fake it
         img = batch['image']
         t0 = time.perf_counter()
         for i in range(iters):
-            out = estep(variables, dict(batch, image=img))
+            out = eval_exec(variables, dict(batch, image=img))
             img = img + jnp.float32(1e-6)
         jax.block_until_ready(out)
         edt = time.perf_counter() - t0
@@ -283,76 +375,140 @@ def bench_family(family):
     print(json.dumps(rec), flush=True)
 
 
-def _run_family(family, extra_env=None):
-    """One family in a fresh subprocess; returns (json_lines, seconds).
-
-    Fresh subprocess so one family's allocator state / fragmentation
-    cannot skew another's number (round-3 ran all four in one process
-    and the headline drifted). stdout is CAPTURED so the parent controls
-    print order; stderr passes through for driver logs.
-    """
-    import subprocess
-    env = dict(os.environ, BENCH_MODEL=family, **(extra_env or {}))
-    t0 = time.perf_counter()
-    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                       env=env, stdout=subprocess.PIPE, text=True)
-    dt = time.perf_counter() - t0
-    lines = [ln for ln in (r.stdout or '').splitlines()
-             if ln.startswith('{')]
-    if r.returncode != 0 or not lines:
-        lines = [json.dumps({'metric': f'{family}_bench', 'value': 0,
-                             'unit': 'images/sec/chip', 'error': True,
-                             'vs_baseline': 0})]
-    return lines, dt
-
-
 def main():
     only = os.environ.get('BENCH_MODEL')
     if only:
         bench_family(only)
         return
-    # Sweep strategy (round-5, after BENCH_r04 rc=124 dropped the
-    # headline): run the HEADLINE boxinst recipe FIRST — so it is always
-    # measured even if the driver kills the sweep — but PRINT its line
-    # LAST (the driver records the last JSON line). Remaining families
-    # run under a wall-clock budget guard: before each, if the elapsed
-    # time plus the worst family duration seen so far would exceed
-    # BENCH_BUDGET_S, eval FPS is shed first, then whole families, and
-    # the held headline line is printed immediately.
+    # Parallel-compile sweep (round 5). Round 4 died at rc=124 because
+    # five sequential cold compiles (~6-28 min each depending on compile
+    # -server load) overran the driver budget, dropping the HEADLINE
+    # boxinst line. Compiles are server-side RPCs on the axon tunnel and
+    # the service parallelizes across client processes (measured: 3
+    # concurrent compiles at ~1x solo latency), so:
+    #   - ALL families launch at once and compile CONCURRENTLY from
+    #     abstract shapes (zero device memory held while compiling);
+    #   - the parent grants a run token to ONE ready family at a time,
+    #     so timed sections never overlap on the chip (others are
+    #     blocked in compile RPCs or token polls — neither executes);
+    #   - wall-clock ~= slowest single compile + ~1 min/family of
+    #     measured sections, instead of the SUM of compiles;
+    #   - nothing prints until the headline's lines are in hand; the
+    #     headline line is then re-printed after every later family so
+    #     the driver's last-line record is the headline at ANY kill
+    #     point; a budget guard kills stragglers at BENCH_BUDGET_S.
+    import shutil
+    import subprocess
+    import tempfile
+
     t_start = time.perf_counter()
-    budget = float(os.environ.get('BENCH_BUDGET_S', 1500))
-
-    headline_lines, head_dt = _run_family('boxinst')
-    print(f'[bench] boxinst (headline) done in {head_dt:.0f}s; '
-          f'budget {budget:.0f}s', file=sys.stderr, flush=True)
-    # the headline line is (re-)printed after EVERY family: the driver
-    # records the LAST JSON line, and an external kill at any point must
-    # still leave the headline as that last line (round 4 died mid-sweep
-    # and the recorded metric silently became another family's)
-    for ln in headline_lines:
-        print(ln, flush=True)
-
-    fams = ['box2mask', 'box2mask_swinl', 'discobox', 'boxlevelset']
+    budget = float(os.environ.get('BENCH_BUDGET_S', 1680))
+    fams = ['boxinst', 'box2mask', 'box2mask_swinl', 'discobox',
+            'boxlevelset']
     if os.environ.get('BENCH_SKIP_SWINL'):
         fams.remove('box2mask_swinl')
-    worst = head_dt
-    for family in fams:
-        elapsed = time.perf_counter() - t_start
-        remaining = budget - elapsed
-        if remaining < worst * 0.9:
-            print(f'[bench] budget: skipping {family} '
-                  f'({remaining:.0f}s left < ~{worst:.0f}s needed)',
-                  file=sys.stderr, flush=True)
-            continue
-        # shed the eval-FPS pass (an extra inference compile) when the
-        # remaining budget is within 1.5x of the worst duration seen
-        extra = {} if remaining > worst * 1.5 else {'BENCH_EVAL': '0'}
-        lines, dt = _run_family(family, extra)
-        worst = max(worst, dt)
-        print(f'[bench] {family} done in {dt:.0f}s', file=sys.stderr,
-              flush=True)
-        for ln in lines + headline_lines:
+    headline = 'boxinst'
+
+    sync_dir = tempfile.mkdtemp(prefix='bench_sync_')
+    procs = {}
+    # slowest compiles first (earlier queue position on the compile
+    # service); Swin-L's eval compile is shed by default — its train
+    # step alone is the longest compile of the sweep and the eval pass
+    # pushed it past the budget (r5 calibration: 4 families + eval done
+    # at t+1142s, swinl still compiling at t+1680) — BENCH_SWINL_EVAL=1
+    # re-enables when the budget allows
+    for f in sorted(fams, key=['box2mask_swinl', 'box2mask', 'boxinst',
+                               'discobox', 'boxlevelset'].index):
+        env = dict(os.environ, BENCH_MODEL=f, BENCH_SYNC_DIR=sync_dir)
+        if f == 'box2mask_swinl' and not os.environ.get('BENCH_SWINL_EVAL'):
+            env['BENCH_EVAL'] = '0'
+        procs[f] = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, text=True)
+
+    def note(msg):
+        print(f'[bench] {msg}', file=sys.stderr, flush=True)
+
+    def collect(f):
+        """Read a finished family's stdout -> JSON lines (error line if
+        it crashed or printed nothing)."""
+        try:
+            out, _ = procs[f].communicate(timeout=30)
+        except Exception:
+            out = ''
+        lines = [ln for ln in (out or '').splitlines()
+                 if ln.startswith('{')]
+        if procs[f].returncode != 0 or not lines:
+            lines = [json.dumps({'metric': f'{f}_bench', 'value': 0,
+                                 'unit': 'images/sec/chip', 'error': True,
+                                 'vs_baseline': 0})]
+        return lines
+
+    lines_of = {}
+    unprinted = []
+
+    def flush():
+        """Print completed families' lines, never before — and always
+        followed by — the headline's."""
+        if headline not in lines_of:
+            return
+        for f in list(unprinted):
+            if f != headline:
+                for ln in lines_of[f]:
+                    print(ln, flush=True)
+            unprinted.remove(f)
+        for ln in lines_of[headline]:
             print(ln, flush=True)
+
+    pending = list(fams)        # compiled-not-yet-run (or compiling)
+    running = None
+    try:
+        while pending or running:
+            if time.perf_counter() - t_start > budget:
+                note(f'budget {budget:.0f}s exhausted; '
+                     f'killing {pending + ([running] if running else [])}')
+                break
+            if running and procs[running].poll() is not None:
+                lines_of[running] = collect(running)
+                unprinted.append(running)
+                note(f'{running} done at '
+                     f't+{time.perf_counter() - t_start:.0f}s')
+                flush()
+                running = None
+            if running is None:
+                for f in pending:
+                    if os.path.exists(os.path.join(sync_dir,
+                                                   f + '.ready')):
+                        with open(os.path.join(sync_dir, f + '.go'),
+                                  'w'):
+                            pass
+                        note(f'{f} compiled, granted run token at '
+                             f't+{time.perf_counter() - t_start:.0f}s')
+                        running = f
+                        pending.remove(f)
+                        break
+            for f in list(pending):      # compile crashed?
+                if procs[f].poll() is not None:
+                    lines_of[f] = collect(f)
+                    unprinted.append(f)
+                    note(f'{f} exited before its run token (rc='
+                         f'{procs[f].returncode})')
+                    pending.remove(f)
+                    flush()
+            time.sleep(1.0)
+    finally:
+        for f, p in procs.items():
+            if p.poll() is None:
+                p.kill()
+        for f in fams:            # killed/never-finished: loud error line
+            if f not in lines_of:
+                lines_of[f] = [json.dumps(
+                    {'metric': FAMILIES[f]['metric'], 'value': 0,
+                     'unit': 'images/sec/chip', 'error': True,
+                     'killed_at_budget': True, 'vs_baseline': 0})]
+                unprinted.append(f)
+        flush()
+        shutil.rmtree(sync_dir, ignore_errors=True)
 
 
 if __name__ == '__main__':
