@@ -415,13 +415,17 @@ def root_tree_euler_batched(chosen: jnp.ndarray, h: int, w: int,
 
     def depth_body(carry, _):
         hops, anc = carry
+        # int32 packed table with hops carried as raw bits: TPU f32
+        # gathers flush denormal bit patterns to zero, so an int32
+        # ancestor column bitcast into an f32 table came back 0 on real
+        # hardware (depth collapsed to <= 2); int32 gathers are pure
+        # bit movement (see ops/tree_filter.py round_fn)
         t = jnp.concatenate(
-            [hops[:, None],
-             jax.lax.bitcast_convert_type(anc, jnp.float32)[:, None]],
-            axis=1)                                      # (ne, 2)
+            [jax.lax.bitcast_convert_type(hops, jnp.int32)[:, None],
+             anc[:, None]], axis=1)                      # (ne, 2)
         g = t[anc]                                       # ONE row-gather
-        return (hops + g[:, 0],
-                jax.lax.bitcast_convert_type(g[:, 1], jnp.int32)), None
+        return (hops + jax.lax.bitcast_convert_type(g[:, 0], jnp.float32),
+                g[:, 1]), None
 
     hops0 = jnp.where(is_root, 0.0, 1.0).astype(jnp.float32)
     (hops, _), _ = jax.lax.scan(depth_body, (hops0, parent), None,

@@ -169,8 +169,6 @@ def _up_pass(h, w, parent, depth, max_depth):
     h = h.astype(jnp.float32)        # packed table columns must be 32-bit
     w = w.astype(jnp.float32)
     sent = bn
-    sent_bits = jax.lax.bitcast_convert_type(
-        jnp.int32(sent), jnp.float32)
 
     anc0 = _flat_parent(parent)
     alive0 = (depth > 0).reshape(-1)
@@ -189,14 +187,27 @@ def _up_pass(h, w, parent, depth, max_depth):
         # scatter P_i * acc_i into the 2^t-ancestor; dead rows hit bn
         acc = acc + jnp.zeros((bn + 1, c), acc.dtype
                               ).at[q].add(p[:, None] * acc)[:bn]
-        # double the pointer: one packed row-gather
+        if _REVERSE_DIFFERENTIABLE:
+            # oracle mode: two plain gathers so reverse-mode autodiff
+            # can flow through the path products (the packed int32
+            # table below kills gradients at the bitcast)
+            p2 = p * jnp.append(p, 0.0)[q]
+            q2 = jnp.append(q, sent)[q]
+            return (i + 1, acc, p2, q2)
+        # double the pointer: one packed row-gather. The table is INT32
+        # with the float column carried as raw bits (f32 gathers flush
+        # denormal BIT PATTERNS to zero on TPU — int32 pointers < 2^23
+        # bitcast into an f32 column came back as 0, silently collapsing
+        # every tree to depth <= 2 on real hardware; int32 gathers move
+        # bits untouched)
         t = jnp.concatenate(
-            [jnp.append(p, 0.0)[:, None],
-             jnp.append(jax.lax.bitcast_convert_type(q, jnp.float32),
-                        sent_bits)[:, None]], axis=1)      # (bn+1, 2)
+            [jax.lax.bitcast_convert_type(jnp.append(p, 0.0),
+                                          jnp.int32)[:, None],
+             jnp.append(q, sent)[:, None]], axis=1)        # (bn+1, 2)
         g = t[q]
-        return (i + 1, acc, p * g[:, 0],
-                jax.lax.bitcast_convert_type(g[:, 1], jnp.int32))
+        return (i + 1, acc,
+                p * jax.lax.bitcast_convert_type(g[:, 0], jnp.float32),
+                g[:, 1])
 
     init = (jnp.int32(0), h.reshape(bn, c), w.reshape(-1), q0)
     if _REVERSE_DIFFERENTIABLE:
@@ -240,14 +251,23 @@ def _down_pass(s, w, parent, depth, max_depth):
 
     def round_fn(carry):
         i, a, b, anc = carry
+        if _REVERSE_DIFFERENTIABLE:
+            # oracle mode: plain differentiable gathers (see _up_pass)
+            a2 = a + b[:, None] * a[anc]
+            b2 = b * b[anc]
+            return (i + 1, a2, b2, anc[anc])
+        # int32 packed table, float columns as raw bits (see _up_pass:
+        # TPU f32 gathers flush denormal bit patterns — fatal for the
+        # int32 ancestor column, benign-but-now-avoided for a/b)
         t = jnp.concatenate(
-            [a, b[:, None],
-             jax.lax.bitcast_convert_type(anc, jnp.float32)[:, None]],
-            axis=1)                                        # (bn, c+2)
+            [jax.lax.bitcast_convert_type(a, jnp.int32),
+             jax.lax.bitcast_convert_type(b, jnp.int32)[:, None],
+             anc[:, None]], axis=1)                        # (bn, c+2)
         g = t[anc]
-        a2 = a + b[:, None] * g[:, :c]
-        b2 = b * g[:, c]
-        anc2 = jax.lax.bitcast_convert_type(g[:, c + 1], jnp.int32)
+        a2 = a + b[:, None] * jax.lax.bitcast_convert_type(
+            g[:, :c], jnp.float32)
+        b2 = b * jax.lax.bitcast_convert_type(g[:, c], jnp.float32)
+        anc2 = g[:, c + 1]
         return (i + 1, a2, b2, anc2)
 
     init = (jnp.int32(0), a, b, _flat_parent(parent))
