@@ -70,7 +70,7 @@ class Box2MaskHead(nn.Module):
     # reach ~93 instances)
     max_matched: int = 100
     tf_size: Tuple[int, int] = (96, 96)
-    tf_max_depth: int = 512
+    tf_max_depth: int = 0
 
     @property
     def num_classes(self):
@@ -219,8 +219,12 @@ class Box2MaskHead(nn.Module):
         lst96 = interpolate_bilinear(outs['levelset_feat'], (th, tw))
         box96 = jax.lax.stop_gradient(interpolate_bilinear(
             k_maskf.transpose(0, 2, 3, 1), (th, tw)).transpose(0, 3, 1, 2))
+        # 0 = full-grid depth budget (reference parity: refine.cu has no
+        # depth cap). The doubling passes early-exit at the tree's real
+        # depth, so a generous budget costs nothing on shallow trees.
+        tf_md = self.tf_max_depth or th * tw
         (parent_i, depth_i), (parent_l, depth_l) = grid_mst_pair(
-            img96, lst96, self.tf_max_depth)
+            img96, lst96, tf_md)
 
         losses: Dict[str, jnp.ndarray] = {}
         n_layers = len(outs['cls'])
@@ -316,9 +320,9 @@ class Box2MaskHead(nn.Module):
         all96 = jnp.concatenate(layer_masks96, axis=-1)  # (B,t,t,L*K)
         deep_img = tree_filter2d(all96, img96, parent_i, depth_i,
                                  sigma=0.02, low_tree=True,
-                                 max_depth=self.tf_max_depth)
+                                 max_depth=tf_md)
         deep_lst = tree_filter2d(deep_img, lst96, parent_l, depth_l,
-                                 low_tree=False, max_depth=self.tf_max_depth)
+                                 low_tree=False, max_depth=tf_md)
 
         # ---- LCM, all layers batched (affinity from the image only)
         lcm = LocalConsistencyModule(dilations=(2,), num_iter=10)

@@ -71,7 +71,7 @@ class BoxSOLOv2Head(nn.Module):
     # TPU-specific static knobs
     max_pos: int = 196            # positive-cell capacity per image
     tf_size: Tuple[int, int] = (96, 96)
-    tf_max_depth: int = 512
+    tf_max_depth: int = 0
     levelset_feat_channels: int = 5
 
     @property
@@ -253,14 +253,17 @@ class BoxSOLOv2Head(nn.Module):
         box_tf = jax.lax.stop_gradient(interpolate_bilinear(
             box_mask.transpose(0, 2, 3, 1), (th, tw)))            # (B,t,t,K)
 
+        # 0 = full-grid depth budget (reference parity: refine.cu has
+        # no depth cap); the doubling passes early-exit at the real depth
+        tf_md = self.tf_max_depth or th * tw
         (parent_i, depth_i), (parent_l, depth_l) = grid_mst_pair(
-            img_tf, lst_tf, self.tf_max_depth)
+            img_tf, lst_tf, tf_md)
         deep_img = tree_filter2d(mask_tf, img_tf, parent_i, depth_i,
                                  sigma=0.02, low_tree=True,
-                                 max_depth=self.tf_max_depth)
+                                 max_depth=tf_md)
         deep_lst = tree_filter2d(deep_img, lst_tf, parent_l, depth_l,
                                  low_tree=False,
-                                 max_depth=self.tf_max_depth)
+                                 max_depth=tf_md)
         # (B, t, t, K) -> per-instance 2-channel structural features
         high = jnp.stack([deep_img, deep_lst], axis=1)            # (B,2,t,t,K)
         high = high.transpose(0, 4, 1, 2, 3) * box_tf.transpose(

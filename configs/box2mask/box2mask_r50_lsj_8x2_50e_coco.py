@@ -52,7 +52,7 @@ model = dict(
         loss_box=dict(type='BoxProjectionLoss', loss_weight=5.0),
         max_matched=100,  # match every padded GT (reference matches all)
         tf_size=(96, 96),
-        tf_max_depth=512),
+        tf_max_depth=0),
     panoptic_fusion_head=dict(
         type='MaskFormerFusionHead',
         num_things_classes=num_things_classes,

@@ -31,7 +31,7 @@ model = dict(
         loss_levelset=dict(type='LevelsetLoss', loss_weight=1.0),
         max_pos=196,
         tf_size=(96, 96),
-        tf_max_depth=512),
+        tf_max_depth=0),
     train_cfg=dict(),
     test_cfg=dict(
         nms_pre=500,
