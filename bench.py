@@ -138,9 +138,15 @@ def bench_family(family):
     # matching/sampling cost depends on the PADDED capacity, not the
     # number of live instances
     max_gts = int(cfg.get('max_gts', 100)) if hasattr(cfg, 'get') else 100
-    batch = _synth_batch(batch_size, h, w, max_gt=max_gts,
-                         with_masks=fam['masks'],
-                         live=int(os.environ.get('BENCH_LIVE_GTS', 16)))
+    live = int(os.environ.get('BENCH_LIVE_GTS', 16))
+    # GT-capacity buckets, exactly like the production StaticBatcher:
+    # the batch's GT width is the smallest configured bucket that fits
+    # its live max (data/batcher.py)
+    buckets = sorted(int(g) for g in (cfg.get('gt_buckets') or ())) \
+        if hasattr(cfg, 'get') else []
+    cap = next((g for g in buckets if g >= live), max_gts)
+    batch = _synth_batch(batch_size, h, w, max_gt=min(cap, max_gts),
+                         with_masks=fam['masks'], live=live)
     sched = step_lr_schedule(0.005, 'linear', 500, 0.001, (60000, 80000))
     # the shipped recipe's optimizer (AdamW + paramwise for Box2Mask /
     # Swin, SGD for the others) so the benched step is the production

@@ -189,6 +189,7 @@ def train_detector(model, dataset, cfg: Config,
                                 not mask_head_cfg.get('boxinst_enabled',
                                                       True))),
         mask_stride=4,
+        gt_buckets=cfg.get('gt_buckets'),
     )
     loader = TrainLoader(dataset, global_batch, batcher,
                          num_workers=data_cfg.get('workers_per_gpu', 2)

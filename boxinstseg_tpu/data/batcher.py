@@ -22,12 +22,25 @@ class StaticBatcher:
                  max_gts: int = 100,
                  bottom_pixels_removed: int = 10,
                  with_masks: bool = False,
-                 mask_stride: int = 1):
+                 mask_stride: int = 1,
+                 gt_buckets: Optional[Sequence[int]] = None):
         self.canvases = [tuple(c) for c in canvases]
         self.max_gts = max_gts
         self.bottom_pixels_removed = bottom_pixels_removed
         self.with_masks = with_masks
         self.mask_stride = mask_stride
+        # GT-capacity buckets (same idea as canvas buckets): each batch
+        # pads its GT lists to the SMALLEST bucket >= the batch's live
+        # max instead of always max_gts. Zero math change — every live
+        # instance still fits — but the per-instance loss terms (tree
+        # filter / LCM / Hungarian / levelset in Box2Mask) stop paying
+        # for empty slots: COCO averages ~7 instances while max_gts is
+        # 100, so the padded capacity dominated those costs 6x+. One
+        # XLA compile per (canvas, bucket) pair actually seen.
+        bk = sorted(int(g) for g in gt_buckets) if gt_buckets else []
+        if not bk or bk[-1] < max_gts:
+            bk.append(max_gts)
+        self.gt_buckets = bk
 
     def pick_canvas(self, h: int, w: int) -> Tuple[int, int]:
         """Smallest canvas that fits (h, w); prefers same orientation."""
@@ -50,13 +63,20 @@ class StaticBatcher:
         ori_shape = np.zeros((b, 2), np.int32)
         scale_factor = np.ones((b, 4), np.float32)
         pixels_removed = np.zeros((b,), np.int32)
-        gt_bboxes = np.zeros((b, self.max_gts, 4), np.float32)
-        gt_labels = np.zeros((b, self.max_gts), np.int32)
-        gt_valid = np.zeros((b, self.max_gts), bool)
+        def _n_live(smp):
+            bx = smp.get('gt_bboxes')
+            return 0 if bx is None else min(len(bx), self.max_gts)
+
+        live = max((_n_live(s) for s in samples), default=0)
+        cap = next((g for g in self.gt_buckets if g >= live),
+                   self.max_gts)
+        gt_bboxes = np.zeros((b, cap, 4), np.float32)
+        gt_labels = np.zeros((b, cap), np.int32)
+        gt_valid = np.zeros((b, cap), bool)
         gt_masks = None
         if self.with_masks:
             s = self.mask_stride
-            gt_masks = np.zeros((b, self.max_gts, ch // s, cw // s),
+            gt_masks = np.zeros((b, cap, ch // s, cw // s),
                                 np.uint8)
 
         for i, smp in enumerate(samples):

@@ -128,6 +128,10 @@ data = dict(
         img_prefix=data_root + 'val2017/',
         pipeline=test_pipeline))
 canvases = [(1024, 1024)]
+# GT-capacity buckets: pad each batch to the smallest
+# bucket >= its live max (COCO mean ~7 instances) so the
+# per-instance loss terms stop paying for 100 empty slots
+gt_buckets = (8, 16, 32, 100)
 with_gt_masks = True
 
 embed_multi = dict(lr_mult=1.0, decay_mult=0.0)

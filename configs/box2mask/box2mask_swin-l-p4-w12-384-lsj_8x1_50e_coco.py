@@ -14,3 +14,5 @@ model = dict(
 
 data = dict(samples_per_gpu=1)
 work_dir = './work_dirs/box2mask_swin-l_lsj_8x1_50e_coco'
+
+gt_buckets = (8, 16, 32, 100)

@@ -104,3 +104,8 @@ lr_config = dict(
 runner = dict(type='EpochBasedRunner', max_epochs=12)
 evaluation = dict(interval=1, metric=['bbox', 'segm'])
 work_dir = './work_dirs/boxinst_r50_fpn_1x_coco'
+
+# GT-capacity buckets: pad each batch to the smallest bucket >=
+# its live max (COCO mean ~7 instances); per-GT target/loss terms
+# stop paying for the full max_gts capacity (data/batcher.py)
+gt_buckets = (8, 16, 32, 100)

@@ -75,3 +75,8 @@ runner = dict(type='EpochBasedRunner', max_epochs=36)
 checkpoint_config = dict(interval=2)
 evaluation = dict(interval=1, metric=['segm'])
 work_dir = './work_dirs/box_levelset_coco_r50_fpn_3x'
+
+# GT-capacity buckets: pad each batch to the smallest bucket >=
+# its live max (COCO mean ~7 instances); per-GT target/loss terms
+# stop paying for the full max_gts capacity (data/batcher.py)
+gt_buckets = (8, 16, 32, 100)

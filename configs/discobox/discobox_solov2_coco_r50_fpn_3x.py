@@ -109,3 +109,8 @@ lr_config = dict(
 runner = dict(type='EpochBasedRunner', max_epochs=36)
 evaluation = dict(interval=1, metric=['segm'])
 work_dir = './work_dirs/discobox_solov2_coco_r50_fpn_3x'
+
+# GT-capacity buckets: pad each batch to the smallest bucket >=
+# its live max (COCO mean ~7 instances); per-GT target/loss terms
+# stop paying for the full max_gts capacity (data/batcher.py)
+gt_buckets = (8, 16, 32, 100)

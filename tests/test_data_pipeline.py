@@ -178,3 +178,39 @@ def test_loader_batch_scale_lands_on_small_canvas(rng):
             break
     assert seen <= {(672, 1344), (736, 1344), (800, 1344)}
     assert len(seen) > 1    # several buckets actually hit
+
+
+def test_static_batcher_gt_buckets():
+    """GT width = smallest bucket >= the batch's live max; every live
+    instance still fits (zero math change, less padding)."""
+    import numpy as np
+    from boxinstseg_tpu.data.batcher import StaticBatcher
+
+    batcher = StaticBatcher(canvases=[(64, 64)], max_gts=100,
+                            gt_buckets=(8, 16, 32))
+
+    def sample(n):
+        return dict(img=np.zeros((60, 60, 3), np.float32),
+                    ori_shape=(60, 60, 3),
+                    gt_bboxes=np.tile([1., 1., 9., 9.], (n, 1)),
+                    gt_labels=np.zeros(n, np.int64))
+
+    for lives, want in [((3, 5), 8), ((9,), 16), ((17, 2), 32),
+                        ((40,), 100)]:
+        out = batcher([sample(n) for n in lives])
+        assert out['gt_labels'].shape[1] == want, (lives, want)
+        for i, n in enumerate(lives):
+            assert out['gt_valid'][i, :n].all()
+            assert not out['gt_valid'][i, n:].any()
+
+
+def test_static_batcher_default_single_bucket():
+    import numpy as np
+    from boxinstseg_tpu.data.batcher import StaticBatcher
+
+    batcher = StaticBatcher(canvases=[(64, 64)], max_gts=25)
+    out = batcher([dict(img=np.zeros((60, 60, 3), np.float32),
+                        ori_shape=(60, 60, 3),
+                        gt_bboxes=np.tile([1., 1., 9., 9.], (2, 1)),
+                        gt_labels=np.zeros(2, np.int64))])
+    assert out['gt_labels'].shape[1] == 25

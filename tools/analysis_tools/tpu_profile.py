@@ -53,9 +53,12 @@ def capture(steps: int, logdir: str):
     cfg = Config.fromfile(os.path.join(ROOT, fam['cfg']))
     model = build_detector(dict(cfg.model))
     max_gts = int(cfg.get('max_gts', 100)) if hasattr(cfg, 'get') else 100
-    batch = _synth_batch(batch_size, h, w, max_gt=max_gts,
-                         with_masks=fam['masks'],
-                         live=int(os.environ.get('BENCH_LIVE_GTS', 16)))
+    live = int(os.environ.get('BENCH_LIVE_GTS', 16))
+    buckets = sorted(int(g) for g in (cfg.get('gt_buckets') or ())) \
+        if hasattr(cfg, 'get') else []
+    cap = next((g for g in buckets if g >= live), max_gts)
+    batch = _synth_batch(batch_size, h, w, max_gt=min(cap, max_gts),
+                         with_masks=fam['masks'], live=live)
     sched = step_lr_schedule(0.005, 'linear', 500, 0.001, (60000, 80000))
     tx = build_optimizer(dict(type='SGD', lr=0.005, momentum=0.9,
                               weight_decay=1e-4), sched)
