@@ -451,15 +451,16 @@ def main():
     sync_dir = tempfile.mkdtemp(prefix='bench_sync_')
     procs = {}
     # slowest compiles first (earlier queue position on the compile
-    # service); Swin-L's eval compile is shed by default — its train
-    # step alone is the longest compile of the sweep and the eval pass
-    # pushed it past the budget (r5 calibration: 4 families + eval done
-    # at t+1142s, swinl still compiling at t+1680) — BENCH_SWINL_EVAL=1
-    # re-enables when the budget allows
+    # service). Swin-L's eval pass was shed while the sweep brushed the
+    # budget (r5 early calibration: 4 families + eval at t+1142s); the
+    # GT-bucket graphs compile much faster (full sweep ~700s), so it is
+    # ON by default again — BENCH_SWINL_EVAL=0 re-sheds it if a future
+    # recipe outgrows the budget
     for f in sorted(fams, key=['box2mask_swinl', 'box2mask', 'boxinst',
                                'discobox', 'boxlevelset'].index):
         env = dict(os.environ, BENCH_MODEL=f, BENCH_SYNC_DIR=sync_dir)
-        if f == 'box2mask_swinl' and not os.environ.get('BENCH_SWINL_EVAL'):
+        if f == 'box2mask_swinl' \
+                and os.environ.get('BENCH_SWINL_EVAL') == '0':
             env['BENCH_EVAL'] = '0'
         procs[f] = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env,
