@@ -16,7 +16,11 @@ BW, NW, N, H, D = 8, 4, 16, 2, 8   # 2 images x 4 windows, ws=4
 
 @pytest.fixture(autouse=True)
 def _interpret():
-    swa._FORCE_INTERPRET = True
+    # interpret mode on CPU; on a real TPU backend (BOXINSTSEG_TEST_TPU=1
+    # conftest passthrough) the ACTUAL Mosaic kernel runs against the
+    # same references — hardware numerics validation
+    force = jax.default_backend() in ('cpu', 'gpu')
+    swa._FORCE_INTERPRET = force
     yield
     swa._FORCE_INTERPRET = False
 
@@ -78,9 +82,16 @@ def test_grads_match_reference():
 
     got = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, bias)
     want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    # interpret mode is exact f32 math -> tight; on a real TPU the
+    # Mosaic dots and the XLA einsums decompose f32 matmuls through
+    # DIFFERENT bf16-pass schedules, and the softmax-backward
+    # subtraction amplifies the few-ULP gap (measured max 7e-3 on O(1)
+    # grads) — compare loosely there (the forward still matches the
+    # on-device XLA fallback at 2e-5, see the module test)
+    tol = 3e-4 if swa._FORCE_INTERPRET else 2e-2
     for gg, ww, name in zip(got, want, 'qkvb'):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
-                                   rtol=3e-4, atol=3e-4, err_msg=name)
+                                   rtol=tol, atol=tol, err_msg=name)
 
 
 def test_module_flash_matches_fallback(monkeypatch):
